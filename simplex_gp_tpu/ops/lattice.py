@@ -1,0 +1,306 @@
+"""Permutohedral lattice filter, TPU-native formulation.
+
+The filter computes ``out = S^T B S v`` where S is the sparse barycentric
+splat matrix onto the permutohedral lattice and B is a product of (d+1)
+banded blurs along the lattice axes.  This approximates ``K(x, x) @ v`` for a
+stationary kernel in O(n d^2 + n L) (reference claim:
+``bilateral_kernel.py:83``).
+
+Reference behavior being re-designed (NOT translated): the CPU/CUDA
+implementations in ``gpytorch_lattice_kernel/cpp/permutohedral.h`` and
+``cuda/permutohedral_cuda_kernel.cu`` use a pointer-chasing hash table with a
+replay buffer.  Here the same math becomes static-shaped XLA/TPU ops:
+
+  * geometry (elevate / round / rank / barycentric): vectorized tensor math;
+    the elevation recurrence (``permutohedral.h:397-402``) is folded into a
+    single (d+1) x d matrix so it runs on the MXU;
+  * hash table -> sort-based dedup (lexsort + segment ids), with the static
+    capacity bound M = n*(d+1) (the same bound the CUDA backend uses,
+    ``permutohedral_cuda_kernel.cu:61``);
+  * blur neighbor lookup -> vectorized lexicographic binary search over the
+    sorted unique keys, precomputed ONCE into an index table;
+  * splat = segment_sum, blur = gathers + (2r+1)-tap weighted sum per axis,
+    slice = gather + barycentric weighted sum.
+
+The key architectural difference from the reference: everything that depends
+only on positions (keys, dedup, neighbor indices, barycentric weights) is a
+reusable ``LatticePlan``.  A conjugate-gradient solve applies the same kernel
+operator hundreds of times; the reference rebuilds its hash table on every
+single MVM, while we build the plan once per loss evaluation and each MVM is
+pure segment_sum/gather arithmetic.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "LatticePlan",
+    "build_rotation",
+    "lattice_simplex",
+    "build_plan",
+    "apply_plan",
+    "filter_once",
+    "SLICE_NORM",
+]
+
+_KEY_SENTINEL = np.int32(2**30)  # sorts after every real lattice coordinate
+
+
+def SLICE_NORM(d: int) -> float:
+    """Slice normalization constant 1/(1 + 2^-d) (permutohedral.h:507)."""
+    return 1.0 / (1.0 + 2.0 ** (-d))
+
+
+def build_rotation(d: int, blur_variance: float) -> np.ndarray:
+    """(d+1) x d elevation matrix E with calibrated scale folded in.
+
+    ``elevated = x @ E.T`` reproduces the reference's per-point recurrence
+    (permutohedral.h:397-402) with scale factors
+    ``(d+1) * sqrt(var + 1/6) / sqrt((i+1)(i+2))`` (permutohedral.h:371-391):
+    the lattice spacing is calibrated so splat+blur+slice has the variance of
+    a unit Gaussian per input dimension.
+    """
+    scale = np.array(
+        [(d + 1) * math.sqrt(blur_variance + 1.0 / 6.0) / math.sqrt((i + 1) * (i + 2)) for i in range(d)],
+        dtype=np.float64,
+    )
+    E = np.zeros((d + 1, d), dtype=np.float64)
+    for j in range(d):
+        sx = np.zeros(d)
+        sx[j] = scale[j]
+        elevated = np.zeros(d + 1)
+        elevated[d] = -d * sx[d - 1]
+        for i in range(d - 1, 0, -1):
+            elevated[i] = elevated[i + 1] - i * sx[i - 1] + (i + 2) * sx[i]
+        elevated[0] = elevated[1] + 2 * sx[0]
+        E[:, j] = elevated
+    return E.astype(np.float32)
+
+
+def _canonical_simplex(d: int) -> np.ndarray:
+    """Canonical simplex vertex table, (d+1) remainders x (d+1) ranks (permutohedral.h:364-369)."""
+    can = np.zeros((d + 1, d + 1), dtype=np.int32)
+    for i in range(d + 1):
+        can[i, : d + 1 - i] = i
+        can[i, d + 1 - i :] = i - (d + 1)
+    return can
+
+
+def lattice_simplex(x: jax.Array, E: jax.Array):
+    """Enclosing-simplex geometry for every point: keys, barycentric weights.
+
+    Args:
+      x: (n, d) float32 positions (already divided by lengthscales).
+      E: (d+1, d) elevation matrix from :func:`build_rotation`.
+
+    Returns:
+      keys: (n, d+1, d) int32 lattice coordinates of the d+1 simplex vertices
+        (only the first d coordinates are stored; they sum to 0 with the last).
+      weights: (n, d+1) float32 barycentric weights per vertex.
+    """
+    n, d = x.shape
+    dp1 = d + 1
+    elevated = x @ E.T  # (n, d+1) -- MXU
+
+    # Round to the nearest remainder-0 lattice point (permutohedral.h:409-423).
+    scale = 1.0 / dp1
+    v = elevated * scale
+    up = jnp.ceil(v)
+    down = jnp.floor(v)
+    pick_up = (up * dp1 - elevated) < (elevated - down * dp1)
+    greedy_div = jnp.where(pick_up, up, down).astype(jnp.int32)  # coords / (d+1)
+    coord_sum = greedy_div.sum(axis=-1)  # (n,)
+
+    # Rank differential -> permutation w.r.t. the canonical simplex
+    # (permutohedral.h:425-433): rank[i] = #{j beating i}, ties broken by index.
+    diff = elevated - greedy_div.astype(elevated.dtype) * dp1
+    di = diff[:, :, None]
+    dj = diff[:, None, :]
+    idx = jnp.arange(dp1)
+    beats = (dj > di) | ((dj == di) & (idx[None, :] < idx[:, None]))
+    rank = beats.sum(axis=-1).astype(jnp.int32)  # (n, d+1)
+
+    # Off-hyperplane repair (permutohedral.h:435-457): shift coordinates so
+    # they sum to zero, keeping ranks in [0, d].
+    r2 = rank + coord_sum[:, None]
+    too_hi = (r2 > d).astype(jnp.int32)
+    too_lo = (r2 < 0).astype(jnp.int32)
+    greedy_div = greedy_div - too_hi + too_lo
+    rank = r2 - dp1 * too_hi + dp1 * too_lo
+    greedy = greedy_div * dp1
+
+    # Barycentric coordinates (permutohedral.h:459-465).
+    t = (elevated - greedy.astype(elevated.dtype)) * scale  # (n, d+1)
+    slots = jnp.arange(d + 2)
+    plus = ((d - rank)[:, :, None] == slots) * t[:, :, None]
+    minus = ((d + 1 - rank)[:, :, None] == slots) * t[:, :, None]
+    bary = (plus - minus).sum(axis=1)  # (n, d+2)
+    bary = bary.at[:, 0].add(1.0 + bary[:, d + 1])
+    weights = bary[:, : d + 1]
+
+    # Vertex keys (permutohedral.h:468-471): greedy + canonical[remainder][rank].
+    can = jnp.asarray(_canonical_simplex(d))  # (d+1, d+1)
+    can_sel = can[:, rank[:, :d]]  # (d+1 remainders, n, d)
+    keys = greedy[:, None, :d] + jnp.transpose(can_sel, (1, 0, 2))  # (n, d+1, d)
+    return keys, weights
+
+
+def _lex_less(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Row-wise lexicographic a < b for (..., d) int arrays."""
+    d = a.shape[-1]
+    less = jnp.zeros(a.shape[:-1], dtype=bool)
+    all_eq = jnp.ones(a.shape[:-1], dtype=bool)
+    for c in range(d):
+        less = less | (all_eq & (a[..., c] < b[..., c]))
+        all_eq = all_eq & (a[..., c] == b[..., c])
+    return less
+
+
+def _lex_searchsorted(sorted_keys: jax.Array, queries: jax.Array) -> jax.Array:
+    """Indices of exact matches of `queries` rows in lexicographically sorted
+    `sorted_keys` (M, d); returns M (one-past-end sentinel) where absent."""
+    M = sorted_keys.shape[0]
+    q = queries.shape[0]
+    lo = jnp.zeros((q,), dtype=jnp.int32)
+    hi = jnp.full((q,), M, dtype=jnp.int32)
+    for _ in range(max(1, M.bit_length())):
+        mid = (lo + hi) // 2
+        row = sorted_keys[mid]
+        go_right = _lex_less(row, queries)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    cand = jnp.minimum(lo, M - 1)
+    match = jnp.all(sorted_keys[cand] == queries, axis=-1) & (lo < M)
+    return jnp.where(match, cand, M).astype(jnp.int32)
+
+
+def _axis_offsets(d: int, order: int) -> np.ndarray:
+    """Neighbor key offsets: (d+1 axes, 2*order taps, d coords).
+
+    Along lattice axis j, the neighbor at signed distance t has key
+    ``key - t`` in every stored coordinate except coordinate j, which gets
+    ``key[j] + t*d`` (permutohedral.h:539-541; axis j == d touches only the
+    implicit last coordinate, so all stored coords get -t).
+    """
+    taps = [t for t in range(-order, order + 1) if t != 0]
+    off = np.zeros((d + 1, len(taps), d), dtype=np.int32)
+    for j in range(d + 1):
+        for ti, t in enumerate(taps):
+            off[j, ti, :] = -t
+            if j < d:
+                off[j, ti, j] = t * d
+    return off
+
+
+class LatticePlan(NamedTuple):
+    """Position-dependent, value-independent filter state, reusable across MVMs.
+
+    Shapes: n points, d input dims, M = n*(d+1) lattice capacity, r = order.
+      seg_ids:   (n, d+1) int32   lattice-point id of each splat target
+      weights:   (n, d+1) float32 barycentric splat/slice weights
+      neighbors: (d+1, M, 2r) int32 blur gather indices (M == missing -> zero)
+      n_lattice: () int32         number of occupied lattice points (<= M)
+    """
+
+    seg_ids: jax.Array
+    weights: jax.Array
+    neighbors: jax.Array
+    n_lattice: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("coeffs", "blur_variance"))
+def build_plan(x: jax.Array, coeffs: tuple, blur_variance: float) -> LatticePlan:
+    """Build the reusable filter plan for positions ``x`` (n, d).
+
+    Replaces the reference hash-table construction (splat side) and the
+    per-MVM neighbor hashing of the blur with one sort + one batched
+    lexicographic binary search.
+    """
+    n, d = x.shape
+    dp1 = d + 1
+    order = (len(coeffs) - 1) // 2
+    E = jnp.asarray(build_rotation(d, blur_variance))
+
+    keys, weights = lattice_simplex(x.astype(jnp.float32), E)
+    N = n * dp1
+    flat = keys.reshape(N, d)
+
+    # Sort-based dedup: hash table -> lexsort + segment ids.
+    perm = jnp.lexsort(tuple(flat[:, c] for c in reversed(range(d))))
+    sk = flat[perm]
+    is_new = jnp.any(sk != jnp.roll(sk, 1, axis=0), axis=-1).at[0].set(True)
+    seg_sorted = (jnp.cumsum(is_new) - 1).astype(jnp.int32)
+    n_lattice = seg_sorted[-1] + 1
+    seg_ids = jnp.zeros((N,), dtype=jnp.int32).at[perm].set(seg_sorted)
+    uniq = jnp.full((N, d), _KEY_SENTINEL, dtype=jnp.int32).at[seg_sorted].set(sk)
+
+    # Precompute blur gather indices, one lexicographic search per axis.
+    offsets = _axis_offsets(d, order)
+    nbrs = []
+    for j in range(dp1):
+        q = (uniq[:, None, :] + jnp.asarray(offsets[j])[None, :, :]).reshape(N * 2 * order, d)
+        nbrs.append(_lex_searchsorted(uniq, q).reshape(N, 2 * order))
+    neighbors = jnp.stack(nbrs, axis=0)
+
+    return LatticePlan(
+        seg_ids=seg_ids.reshape(n, dp1),
+        weights=weights,
+        neighbors=neighbors,
+        n_lattice=n_lattice,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("coeffs",))
+def apply_plan(plan: LatticePlan, v: jax.Array, coeffs: tuple) -> jax.Array:
+    """Apply the lattice kernel operator: out ~= K(x, x) @ v, for v (n, c).
+
+    splat (segment_sum) -> d+1 axis blurs (gather + taps) -> slice (gather).
+    Linear and exactly symmetric in v by construction (S^T B S with
+    symmetric taps), so the VJP w.r.t. v is the same operator.
+    """
+    n, dp1 = plan.seg_ids.shape
+    d = dp1 - 1
+    M = plan.neighbors.shape[1]
+    order = plan.neighbors.shape[2] // 2
+    taps = [float(c) for c in np.asarray(coeffs)]
+    assert len(taps) == 2 * order + 1
+
+    v = v.astype(jnp.float32)
+    c = v.shape[-1]
+
+    # Splat: scatter-add barycentric-weighted values into the lattice table.
+    contrib = (v[:, None, :] * plan.weights[:, :, None]).reshape(n * dp1, c)
+    table = jax.ops.segment_sum(contrib, plan.seg_ids.reshape(-1), num_segments=M)
+
+    # Blur: d+1 sequential banded passes along the lattice axes.
+    tap_list = [t for t in range(-order, order + 1) if t != 0]
+    for j in range(dp1):
+        padded = jnp.concatenate([table, jnp.zeros((1, c), table.dtype)], axis=0)
+        acc = taps[order] * table
+        for ti, t in enumerate(tap_list):
+            acc = acc + taps[t + order] * padded[plan.neighbors[j, :, ti]]
+        table = acc
+
+    # Slice: replay the splat weights against the blurred table.
+    gathered = table[plan.seg_ids]  # (n, d+1, c)
+    out = (gathered * plan.weights[:, :, None]).sum(axis=1)
+    return out * SLICE_NORM(d)
+
+
+@functools.partial(jax.jit, static_argnames=("coeffs", "blur_variance"))
+def filter_once(src: jax.Array, ref: jax.Array, coeffs: tuple, blur_variance: float) -> jax.Array:
+    """One-shot filter(src, ref, coeffs): build the plan and apply it.
+
+    Mirrors the reference entry point ``filter`` (cpp/lattice.cpp:6-16) for
+    callers whose positions change every call (e.g. the rectangular
+    cross-covariance MVM).
+    """
+    plan = build_plan(ref, coeffs, blur_variance)
+    return apply_plan(plan, src, coeffs)
