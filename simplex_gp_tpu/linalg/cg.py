@@ -1,0 +1,91 @@
+"""Batched preconditioned conjugate gradients, pure JAX.
+
+The reference drives all solves through GPyTorch's ``linear_cg`` (BBMM,
+SURVEY.md section 2.4): batched CG over multiple right-hand sides against an
+implicit operator, preconditioned, with a loose tolerance during training
+(reference config ``cg_tolerance=1.0``, ``eval_cg_tolerance=1e-2``,
+``max_cg_iterations=500`` -- configs/simplexgp.yml).
+
+TPU-native formulation: a single ``lax.while_loop`` whose state carries all
+right-hand sides at once; the operator is applied to the full (n, t) block so
+every MVM is one fused lattice filter / one big matmul (MXU-friendly), and
+inner products reduce over the data axis (a ``psum`` when sharded).
+Converged columns are frozen by masking rather than dropped, keeping shapes
+static for XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["CGResult", "cg_solve"]
+
+
+class CGResult(NamedTuple):
+    x: jax.Array  # (n, t) solution block
+    iterations: jax.Array  # () int32, iterations actually run
+    residual_norm: jax.Array  # (t,) final residual norms (relative)
+
+
+def cg_solve(
+    matmul: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    tol: float = 1.0,
+    max_iters: int = 500,
+    precond: Optional[Callable[[jax.Array], jax.Array]] = None,
+) -> CGResult:
+    """Solve ``A x = b`` for an SPD implicit operator, all columns at once.
+
+    Args:
+      matmul: V (n, t) -> A @ V.  Must be (numerically) symmetric
+        positive-definite.
+      b: (n, t) right-hand sides.
+      tol: stop when every column's residual norm relative to its RHS norm is
+        below this (GPyTorch stops on mean residual norm; per-column is
+        stricter and freezes converged columns).
+      max_iters: static iteration cap.
+      precond: optional V -> P^{-1} V.
+
+    Returns:
+      CGResult with the solution block and diagnostics.
+    """
+    if precond is None:
+        precond = lambda v: v
+
+    b = b.astype(jnp.float32)
+    b_norm = jnp.linalg.norm(b, axis=0)  # (t,)
+    b_norm = jnp.where(b_norm == 0, 1.0, b_norm)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = (r0 * z0).sum(axis=0)  # (t,)
+
+    def cond(state):
+        _, _, _, _, rz, it, done = state
+        return (it < max_iters) & ~jnp.all(done)
+
+    def body(state):
+        x, r, p, z, rz, it, done = state
+        ap = matmul(p)
+        pap = (p * ap).sum(axis=0)
+        # Guard converged / degenerate columns against 0/0.
+        alpha = jnp.where(done | (pap == 0), 0.0, rz / jnp.where(pap == 0, 1.0, pap))
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        rz_new = (r * z).sum(axis=0)
+        beta = jnp.where(done | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
+        p = z + beta * p
+        res = jnp.linalg.norm(r, axis=0) / b_norm
+        done = done | (res < tol)
+        return x, r, p, z, rz_new, it + 1, done
+
+    res0 = jnp.linalg.norm(r0, axis=0) / b_norm
+    state = (x0, r0, p0, z0, rz0, jnp.int32(0), res0 < tol)
+    x, r, _, _, _, it, _ = jax.lax.while_loop(cond, body, state)
+    return CGResult(x=x, iterations=it, residual_norm=jnp.linalg.norm(r, axis=0) / b_norm)

@@ -1,0 +1,155 @@
+"""Marginal-likelihood engine: inv_quad + logdet with stochastic gradients.
+
+This is the TPU-native equivalent of GPyTorch's ``inv_quad_logdet`` -- the
+single function behind ``-mll(model(x), y)`` in the reference training loop
+(train_simplexgp.py:41; SURVEY.md section 3.1).  For K_hat = s*K + noise*I:
+
+  forward:  inv_quad = y^T K_hat^{-1} y   via preconditioned batched CG
+            logdet   = log|K_hat|         via stochastic Lanczos quadrature
+  backward: d(inv_quad) = -alpha^T dK_hat alpha          (alpha = K_hat^{-1}y)
+            d(logdet)  ~= (1/p) sum_i (K_hat^{-1}z_i)^T dK_hat z_i (Hutchinson)
+
+Both backward terms are u^T dK_hat v forms, evaluated in ONE ``jax.vjp``
+through the differentiable lattice filter (ops/filter.py), which is how
+lengthscale/ARD/outputscale/noise gradients flow -- mirroring how GPyTorch's
+backward replays ``LatticeFilterGeneral.backward`` per CG-era term.
+
+Key structural win over the reference: the CG/Lanczos forward applies
+``apply_plan`` against ONE prebuilt lattice plan, while the reference rebuilds
+its hash table on every single ``_matmul`` of every CG iteration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.filter import lattice_filter, lattice_filter_exact_grad
+from ..ops.kernels import DiscretizedKernel
+from ..ops.lattice import apply_plan, build_plan
+from .cg import cg_solve
+from .lanczos import slq_logdet
+from .pivoted_cholesky import pivoted_cholesky, woodbury_solve
+
+__all__ = ["BBMMConfig", "lattice_inv_quad_logdet", "lattice_nlml"]
+
+
+@dataclasses.dataclass(frozen=True)
+class BBMMConfig:
+    """Solver budget, mirroring the reference's gpytorch settings context
+    (train_simplexgp.py:34-37): cg_tolerance, max_cg_iterations,
+    max_preconditioner_size, max_root_decomposition_size."""
+
+    cg_tolerance: float = 1.0
+    max_cg_iterations: int = 500
+    max_lanczos_iterations: int = 100
+    precond_rank: int = 0  # 0 disables the pivoted-Cholesky preconditioner
+    num_probes: int = 10
+    # "exact": autodiff through the real splat/blur/slice pipeline (gradient
+    # of the operator actually applied; see ops/filter.py).  "deriv_filter":
+    # reference-parity derivative-coefficient filter (bilateral_kernel.py
+    # :112-123).
+    grad_mode: str = "exact"
+
+
+def _khat_matmul_diff(params, x, dk: DiscretizedKernel, V, grad_mode: str):
+    """Differentiable K_hat(params) @ V; gradient path per ``grad_mode``."""
+    ref = x * params["inv_ell"]
+    filt = lattice_filter_exact_grad if grad_mode == "exact" else lattice_filter
+    return params["outputscale"] * filt(V, ref, dk) + params["noise"] * V
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def lattice_inv_quad_logdet(dk, config, params, x, y, probes):
+    """(y^T K_hat^{-1} y, log|K_hat|) for the lattice GP operator.
+
+    Args:
+      dk: static DiscretizedKernel.
+      config: static BBMMConfig.
+      params: dict with positive-valued entries
+        ``inv_ell`` (d,), ``outputscale`` (), ``noise`` ().
+      x: (n, d) training inputs (no gradient).
+      y: (n,) centered targets (gradient defined: 2*alpha).
+      probes: (n, p) Rademacher probes (no gradient), shared by the SLQ
+        forward and the Hutchinson trace backward, as in GPyTorch.
+    """
+    out, _ = _iql_fwd(dk, config, params, x, y, probes)
+    return out
+
+
+def _solve_system(dk, config, params, x, y, probes):
+    ref = x * params["inv_ell"]
+    plan = build_plan(ref, dk.coeffs, dk.variance)
+    s, noise = params["outputscale"], params["noise"]
+
+    def mv(V):
+        return s * apply_plan(plan, V, dk.coeffs) + noise * V
+
+    precond = None
+    if config.precond_rank > 0:
+        n = x.shape[0]
+
+        def col_fn(i):
+            e = jnp.zeros((n, 1), jnp.float32).at[i, 0].set(1.0)
+            return s * apply_plan(plan, e, dk.coeffs)[:, 0]
+
+        pc = pivoted_cholesky(s * jnp.ones((n,), jnp.float32), col_fn, config.precond_rank)
+        precond = lambda V: woodbury_solve(pc.L, noise, V)
+
+    rhs = jnp.concatenate([y[:, None], probes], axis=-1)
+    res = cg_solve(
+        mv,
+        rhs,
+        tol=config.cg_tolerance,
+        max_iters=config.max_cg_iterations,
+        precond=precond,
+    )
+    m = min(config.max_lanczos_iterations, x.shape[0])
+    logdet = slq_logdet(mv, probes, m)
+    return res.x, logdet
+
+
+def _iql_fwd(dk, config, params, x, y, probes):
+    solves, logdet = _solve_system(dk, config, params, x, y, probes)
+    alpha = solves[:, 0]
+    inv_quad = (y * alpha).sum()
+    residuals = (params, x, y, probes, alpha, solves[:, 1:])
+    return (inv_quad, logdet), residuals
+
+
+def _iql_bwd(dk, config, residuals, cotangents):
+    a, b = cotangents
+    params, x, y, probes, alpha, z_solves = residuals
+    p = probes.shape[-1]
+
+    # Left/right vectors of the u^T dK_hat v forms.
+    U = jnp.concatenate([(-a) * alpha[:, None], (b / p) * z_solves], axis=-1)
+    V = jnp.concatenate([alpha[:, None], probes], axis=-1)
+
+    _, vjp = jax.vjp(lambda prm: _khat_matmul_diff(prm, x, dk, V, config.grad_mode), params)
+    (grad_params,) = vjp(U)
+
+    grad_y = 2.0 * a * alpha
+    return grad_params, jnp.zeros_like(x), grad_y, jnp.zeros_like(probes)
+
+
+lattice_inv_quad_logdet.defvjp(_iql_fwd, _iql_bwd)
+
+
+def lattice_nlml(dk, config, params, x, y, probes, mean: Optional[jax.Array] = None):
+    """Negative log marginal likelihood per datapoint.
+
+    Matches gpytorch's ExactMarginalLogLikelihood convention of dividing by n
+    (the reference trains on ``-mll(output, y)``, train_simplexgp.py:41).
+    ``params`` may include ``mean`` (constant mean); pass ``mean`` explicitly
+    to override.
+    """
+    n = y.shape[0]
+    mu = params.get("mean", 0.0) if mean is None else mean
+    yc = y - mu
+    inv_quad, logdet = lattice_inv_quad_logdet(dk, config, params, x, yc, probes)
+    return 0.5 * (inv_quad + logdet + n * jnp.log(2.0 * jnp.pi)) / n

@@ -36,7 +36,29 @@ import jax.numpy as jnp
 from .kernels import DiscretizedKernel
 from .lattice import apply_plan, build_plan
 
-__all__ = ["lattice_filter"]
+__all__ = ["lattice_filter", "lattice_filter_exact_grad"]
+
+
+def lattice_filter_exact_grad(src: jax.Array, ref: jax.Array, dk: DiscretizedKernel) -> jax.Array:
+    """K(ref, ref) @ src, differentiable by PLAIN JAX autodiff.
+
+    The reference cannot differentiate through its hash-table C++ filter, so
+    it approximates grad_reference with a second filter using derivative
+    coefficients (bilateral_kernel.py:112-123) -- an estimate of the *dense*
+    kernel's gradient that can disagree in sign with the gradient of the
+    actual discretized operator when the model is near a lengthscale optimum.
+
+    Our pipeline is segment_sum/gather/elementwise all the way down, and the
+    barycentric weights are (piecewise) smooth in ``ref``, so reverse-mode AD
+    through splat -> blur -> slice yields the EXACT gradient of the operator
+    actually being applied (validated against finite differences).  Integer
+    lattice bookkeeping (keys, sort, neighbor indices) is piecewise constant
+    and contributes no tangent.  This is the default gradient path for
+    hyperparameter training; ``lattice_filter`` keeps reference-parity
+    derivative-filter gradients.
+    """
+    plan = build_plan(ref, dk.coeffs, dk.variance)
+    return apply_plan(plan, src, dk.coeffs)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
