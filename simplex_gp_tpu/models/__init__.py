@@ -1,0 +1,2 @@
+from .components import constrain, init_raw_params, inv_softplus, softplus  # noqa: F401
+from .exact_gp import DenseGP, SimplexGP  # noqa: F401

@@ -1,0 +1,191 @@
+"""Exact-GP models: lattice-accelerated (Simplex-GP) and dense baselines.
+
+The TPU-native equivalent of the reference's model stack
+(experiments/train_simplexgp.py:13-26):
+
+    ConstantMean + ScaleKernel(RBFLattice/MaternLattice, ard_num_dims=d)
+    + GaussianLikelihood(GreaterThan(min_noise))
+
+trained by exact marginal log-likelihood through the BBMM engine
+(linalg/mll.py) and predicted with cached CG solves + LOVE-style Lanczos-root
+variances (reference eval settings train_simplexgp.py:63-67).
+
+``DenseGP`` is the same model with dense Cholesky algebra -- the analog of the
+reference's KeOps exact baseline (experiments/train_keops.py) and the "exact"
+side of the Snelson parity test (tests/train_snelson.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..linalg.cg import cg_solve
+from ..linalg.lanczos import lanczos_root
+from ..linalg.mll import BBMMConfig, lattice_nlml
+from ..ops.filter import lattice_filter_rect
+from ..ops.kernels import DiscretizedKernel, matern_kernel, rbf_kernel
+from ..ops.lattice import apply_plan, build_plan
+from .components import constrain, init_raw_params
+
+__all__ = ["SimplexGP", "DenseGP"]
+
+
+def _rademacher(key, shape):
+    return jax.random.rademacher(key, shape, dtype=jnp.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimplexGP:
+    """Lattice-accelerated exact GP regression model.
+
+    Static configuration object; parameters live in a separate raw dict
+    (see models/components.py) so training is pure-functional.
+    """
+
+    num_dims: int
+    kernel: str = "rbf"  # "rbf" | "matern"
+    nu: float = 1.5
+    order: int = 1
+    min_noise: float = 1e-4
+    bbmm: BBMMConfig = BBMMConfig()
+    eval_cg_tolerance: float = 1e-2  # reference train_simplexgp.py:63
+
+    @property
+    def dk(self) -> DiscretizedKernel:
+        if self.kernel == "rbf":
+            return rbf_kernel(self.order)
+        if self.kernel == "matern":
+            return matern_kernel(self.nu, self.order)
+        raise ValueError(f"unknown kernel {self.kernel!r}")
+
+    def init_params(self, **kwargs) -> dict:
+        return init_raw_params(self.num_dims, **kwargs)
+
+    def constrained(self, raw: dict) -> dict:
+        return constrain(raw, self.min_noise)
+
+    # ----- training -----
+
+    def nlml(self, raw: dict, x: jax.Array, y: jax.Array, key: jax.Array) -> jax.Array:
+        """Negative log marginal likelihood / n (the training loss)."""
+        probes = _rademacher(key, (x.shape[0], self.bbmm.num_probes))
+        return lattice_nlml(self.dk, self.bbmm, self.constrained(raw), x, y, probes)
+
+    # ----- prediction -----
+
+    def _khat_mv(self, params, plan):
+        s, noise = params["outputscale"], params["noise"]
+
+        def mv(V):
+            return s * apply_plan(plan, V, self.dk.coeffs) + noise * V
+
+        return mv
+
+    def posterior_cache(self, raw: dict, x: jax.Array, y: jax.Array, key: jax.Array, root_rank: Optional[int] = None):
+        """Precompute alpha = Khat^{-1} y_c and the LOVE root for variances.
+
+        Mirrors GPyTorch's prediction caches under fast_pred_var
+        (train_simplexgp.py:67): Khat ~= Q T Q^T via Lanczos, so
+        Khat^{-1} ~= (Q U L^{-1/2}) (Q U L^{-1/2})^T.
+        """
+        params = self.constrained(raw)
+        ref = x * params["inv_ell"]
+        plan = build_plan(ref, self.dk.coeffs, self.dk.variance)
+        mv = self._khat_mv(params, plan)
+        yc = y - params["mean"]
+
+        alpha = cg_solve(
+            mv, yc[:, None], tol=self.eval_cg_tolerance,
+            max_iters=self.bbmm.max_cg_iterations,
+        ).x[:, 0]
+
+        m = min(self.bbmm.max_lanczos_iterations, x.shape[0])
+        z = jax.random.normal(key, (x.shape[0], 1), jnp.float32)
+        Q, T = lanczos_root(mv, z, m)
+        evals, evecs = jnp.linalg.eigh(T)
+        evals = jnp.maximum(evals, 1e-8)
+        root_inv = Q @ (evecs / jnp.sqrt(evals)[None, :])  # (n, m)
+        return {"alpha": alpha, "root_inv": root_inv, "params": params}
+
+    def predict(self, raw: dict, x: jax.Array, y: jax.Array, x_test: jax.Array, key: jax.Array):
+        """Posterior mean and variance (with observation noise) at x_test."""
+        cache = self.posterior_cache(raw, x, y, key)
+        params = cache["params"]
+        ref = x * params["inv_ell"]
+        ref_test = x_test * params["inv_ell"]
+        s = params["outputscale"]
+
+        # mean* = K(test, train) alpha + mu  (one rectangular filter call)
+        mean = (
+            s * lattice_filter_rect(cache["alpha"][:, None], ref, ref_test, self.dk)[:, 0]
+            + params["mean"]
+        )
+
+        # var* = k** + noise - || K(test, train) root_inv ||^2 row-wise,
+        # k** = outputscale (normalized kernel has unit diagonal,
+        # bilateral_kernel.py:139-140).  One rectangular filter of m columns.
+        S = s * lattice_filter_rect(cache["root_inv"], ref, ref_test, self.dk)
+        var = s + params["noise"] - (S * S).sum(axis=-1)
+        var = jnp.maximum(var, 1e-8)
+        return mean, var
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseGP:
+    """Dense exact GP (Cholesky): the KeOps-exact-baseline analog.
+
+    Same parameterization as SimplexGP; O(n^2) memory / O(n^3) time.
+    """
+
+    num_dims: int
+    kernel: str = "rbf"
+    nu: float = 1.5
+    min_noise: float = 1e-4
+
+    def init_params(self, **kwargs) -> dict:
+        return init_raw_params(self.num_dims, **kwargs)
+
+    def constrained(self, raw: dict) -> dict:
+        return constrain(raw, self.min_noise)
+
+    def _kmat(self, params, x1, x2):
+        r1 = x1 * params["inv_ell"]
+        r2 = x2 * params["inv_ell"]
+        d2 = ((r1[:, None, :] - r2[None, :, :]) ** 2).sum(-1)
+        if self.kernel == "rbf":
+            k = jnp.exp(-d2)
+        elif self.kernel == "matern" and self.nu == 1.5:
+            d = jnp.sqrt(d2 + 1e-12)
+            k = (1 + jnp.sqrt(3.0) * d) * jnp.exp(-jnp.sqrt(3.0) * d)
+        elif self.kernel == "matern" and self.nu == 2.5:
+            d = jnp.sqrt(d2 + 1e-12)
+            k = (1 + jnp.sqrt(5.0) * d + (5.0 / 3.0) * d2) * jnp.exp(-jnp.sqrt(5.0) * d)
+        else:
+            raise ValueError(f"unsupported kernel {self.kernel}/{self.nu}")
+        return params["outputscale"] * k
+
+    def nlml(self, raw: dict, x: jax.Array, y: jax.Array, key=None) -> jax.Array:
+        params = self.constrained(raw)
+        n = x.shape[0]
+        K = self._kmat(params, x, x) + params["noise"] * jnp.eye(n)
+        yc = y - params["mean"]
+        L = jnp.linalg.cholesky(K)
+        a = jax.scipy.linalg.cho_solve((L, True), yc[:, None])[:, 0]
+        return 0.5 * ((yc * a).sum() + 2 * jnp.log(jnp.diag(L)).sum() + n * jnp.log(2 * jnp.pi)) / n
+
+    def predict(self, raw: dict, x: jax.Array, y: jax.Array, x_test: jax.Array, key=None):
+        params = self.constrained(raw)
+        n = x.shape[0]
+        K = self._kmat(params, x, x) + params["noise"] * jnp.eye(n)
+        Kst = self._kmat(params, x_test, x)
+        L = jnp.linalg.cholesky(K)
+        yc = y - params["mean"]
+        a = jax.scipy.linalg.cho_solve((L, True), yc[:, None])[:, 0]
+        mean = Kst @ a + params["mean"]
+        v = jax.scipy.linalg.solve_triangular(L, Kst.T, lower=True)
+        var = params["outputscale"] + params["noise"] - (v * v).sum(axis=0)
+        return mean, jnp.maximum(var, 1e-8)

@@ -61,6 +61,24 @@ def lattice_filter_exact_grad(src: jax.Array, ref: jax.Array, dk: DiscretizedKer
     return apply_plan(plan, src, dk.coeffs)
 
 
+def lattice_filter_rect(
+    src: jax.Array, x_from: jax.Array, x_to: jax.Array, dk: DiscretizedKernel
+) -> jax.Array:
+    """Cross-covariance MVM ``K(x_to, x_from) @ src`` via the zero-pad trick.
+
+    Joint-filters ``[src; 0]`` over the concatenated positions
+    ``[x_from; x_to]`` and keeps the x_to rows -- the reference's
+    RectangularLazyLattice._matmul (bilateral_kernel.py:150-156), used for
+    test-time prediction.
+    """
+    n_from = x_from.shape[0]
+    x_large = jnp.concatenate([x_from, x_to], axis=0)
+    v_large = jnp.concatenate(
+        [src, jnp.zeros((x_to.shape[0], src.shape[-1]), src.dtype)], axis=0
+    )
+    return lattice_filter_exact_grad(v_large, x_large, dk)[n_from:]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def lattice_filter(src: jax.Array, ref: jax.Array, dk: DiscretizedKernel) -> jax.Array:
     """K(ref, ref) @ src for the discretized stationary kernel ``dk``.

@@ -1,0 +1,129 @@
+"""Dataset layer: Snelson 1-D, UCI regression (.mat), synthetic fallbacks.
+
+Mirrors the reference dataset layer (experiments/utils.py:21-168):
+
+  * UCI ``.mat`` files loaded via scipy (key "data", last column = target),
+    located under ``$DATADIR/uci/<name>/<name>.mat``;
+  * deterministic positional splits: first 80% train, last 20% test, last
+    20% of train as val (utils.py:64-71);
+  * z-scoring of x and y by TRAIN statistics only (utils.py:34-44);
+  * named size groups small/medium/large/huge (utils.py:115-159).
+
+Additionally (new capability): when a UCI file is absent, a seeded synthetic
+regression problem with the dataset's published (n, d) shape is generated so
+benchmarks and scaling tests run in sealed environments.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+__all__ = ["Dataset", "load_snelson", "load_uci", "prepare_dataset", "UCI_SHAPES", "DATASET_GROUPS"]
+
+_REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
+
+# Published (n, d) per UCI dataset (SURVEY.md section 6 / reference paper).
+UCI_SHAPES = {
+    "pol": (15000, 26),
+    "elevators": (16599, 18),
+    "bike": (17379, 17),
+    "kin40k": (40000, 8),
+    "protein": (45730, 9),
+    "keggdirected": (48827, 20),
+    "slice": (53500, 385),
+    "keggundirected": (63608, 27),
+    "3droad": (434874, 3),
+    "song": (515345, 90),
+    "buzz": (583250, 77),
+    "precipitation": (628474, 3),
+    "houseelectric": (2049280, 11),
+}
+
+# Reference size groups (experiments/utils.py:115-159).
+DATASET_GROUPS = {
+    "small": ["pol", "elevators", "bike", "kin40k", "protein"],
+    "medium": ["keggdirected", "slice", "keggundirected", "3droad"],
+    "large": ["song", "buzz", "precipitation"],
+    "huge": ["houseelectric"],
+}
+
+
+class Dataset(NamedTuple):
+    train_x: np.ndarray
+    train_y: np.ndarray
+    val_x: np.ndarray
+    val_y: np.ndarray
+    test_x: np.ndarray
+    test_y: np.ndarray
+    name: str
+
+
+def load_snelson(path: Optional[str] = None) -> tuple[np.ndarray, np.ndarray]:
+    """200-point 1-D Snelson regression set (reference notebooks/snelson.csv)."""
+    path = path or str(_REPO_ROOT / "data" / "snelson.csv")
+    arr = np.genfromtxt(path, delimiter=",", skip_header=1, dtype=np.float32)
+    return arr[:, :1], arr[:, 1]
+
+
+def _synthetic_uci(name: str, seed: int = 0) -> np.ndarray:
+    """Seeded stand-in with the dataset's published shape.
+
+    A smooth random low-rank function + noise, so GP training is nontrivial
+    and MVM benchmarks exercise realistic lattice occupancies.
+    """
+    n, d = UCI_SHAPES[name]
+    rng = np.random.default_rng(abs(hash(name)) % (2**31) + seed)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    w1 = rng.normal(size=(d, 8)).astype(np.float32) / np.sqrt(d)
+    w2 = rng.normal(size=(8,)).astype(np.float32)
+    y = np.tanh(x @ w1) @ w2 + 0.1 * rng.normal(size=n).astype(np.float32)
+    return np.concatenate([x, y[:, None]], axis=-1)
+
+
+def load_uci(name: str, data_dir: Optional[str] = None, allow_synthetic: bool = True) -> np.ndarray:
+    """Raw (n, d+1) data matrix; last column is the target."""
+    data_dir = data_dir or os.environ.get("DATADIR")
+    if data_dir:
+        mat_path = pathlib.Path(data_dir) / "uci" / name / f"{name}.mat"
+        if mat_path.exists():
+            from scipy.io import loadmat
+
+            return np.asarray(loadmat(str(mat_path))["data"], dtype=np.float32)
+    if not allow_synthetic:
+        raise FileNotFoundError(f"UCI dataset {name!r} not found under DATADIR={data_dir}")
+    return _synthetic_uci(name)
+
+
+def prepare_dataset(
+    data: np.ndarray,
+    name: str = "",
+    train_frac: float = 0.8,
+    val_frac: float = 0.8,
+    standardize: bool = True,
+) -> Dataset:
+    """Positional split + train-statistics z-scoring (utils.py:34-44,64-71)."""
+    x, y = data[:, :-1].astype(np.float32), data[:, -1].astype(np.float32)
+    n = x.shape[0]
+    n_train_total = int(train_frac * n)
+    n_train = int(val_frac * n_train_total)
+    train_x, train_y = x[:n_train], y[:n_train]
+    val_x, val_y = x[n_train:n_train_total], y[n_train:n_train_total]
+    test_x, test_y = x[n_train_total:], y[n_train_total:]
+
+    if standardize:
+        mu_x = train_x.mean(axis=0, keepdims=True)
+        sd_x = train_x.std(axis=0, keepdims=True) + 1e-6
+        mu_y = train_y.mean()
+        sd_y = train_y.std() + 1e-6
+        train_x = (train_x - mu_x) / sd_x
+        val_x = (val_x - mu_x) / sd_x
+        test_x = (test_x - mu_x) / sd_x
+        train_y = (train_y - mu_y) / sd_y
+        val_y = (val_y - mu_y) / sd_y
+        test_y = (test_y - mu_y) / sd_y
+
+    return Dataset(train_x, train_y, val_x, val_y, test_x, test_y, name)
