@@ -1,0 +1,121 @@
+"""Shared experiment runner: the reference's training-driver skeleton.
+
+Mirrors experiments/train_simplexgp.py's main/train/test structure
+(SURVEY.md section 3.1): dataset prep -> model -> NLML Adam loop with
+per-epoch timing -> periodic val/test eval (RMSE, MAE, NLL) -> early stopping
+-> best-checkpoint save -> metric logging.  Logging goes to JSONL + stdout
+(the reference uses wandb; sealed environments get files)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import pickle
+import time
+
+import numpy as np
+
+
+def add_common_args(p: argparse.ArgumentParser):
+    p.add_argument("--dataset", default="snelson")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-int", type=int, default=5, help="eval every k epochs (reference log_int)")
+    p.add_argument("--patience", type=int, default=20)
+    p.add_argument("--min-noise", type=float, default=1e-4)
+    p.add_argument("--out", default="runs")
+    p.add_argument("--max-n", type=int, default=0, help="optional training-subset cap")
+    return p
+
+
+def load_dataset(args):
+    from simplex_gp_tpu.utils import load_snelson, load_uci, prepare_dataset
+
+    if args.dataset == "snelson":
+        x, y = load_snelson()
+        data = np.concatenate([x, y[:, None]], axis=-1)
+    else:
+        data = load_uci(args.dataset, args.data_dir)
+    ds = prepare_dataset(data, name=args.dataset, standardize=(args.dataset != "snelson"))
+    if args.max_n and ds.train_x.shape[0] > args.max_n:
+        ds = ds._replace(train_x=ds.train_x[: args.max_n], train_y=ds.train_y[: args.max_n])
+    return ds
+
+
+def regression_metrics(mean, var, y):
+    mean, var, y = np.asarray(mean), np.asarray(var), np.asarray(y)
+    err = mean - y
+    return {
+        "rmse": float(np.sqrt((err**2).mean())),
+        "mae": float(np.abs(err).mean()),
+        "nll": float(0.5 * (np.log(2 * np.pi * var) + err**2 / var).mean()),
+    }
+
+
+def run_training(model, raw, ds, args, name: str):
+    """Adam loop with periodic eval + early stopping; returns best raw params."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from simplex_gp_tpu.utils import EarlyStopper
+
+    out_dir = pathlib.Path(args.out) / f"{name}_{args.dataset}_s{args.seed}"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    log_f = open(out_dir / "metrics.jsonl", "a")
+
+    x = jnp.asarray(ds.train_x)
+    y = jnp.asarray(ds.train_y)
+
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(raw)
+
+    @jax.jit
+    def step(raw, opt_state, key):
+        loss, grads = jax.value_and_grad(lambda r: model.nlml(r, x, y, key))(raw)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(raw, updates), opt_state, loss
+
+    stopper = EarlyStopper(patience=args.patience)
+    key = jax.random.PRNGKey(args.seed)
+    stopped = False
+    for epoch in range(args.epochs):
+        key, k1, k2 = jax.random.split(key, 3)
+        t0 = time.perf_counter()
+        raw, opt_state, loss = step(raw, opt_state, k1)
+        loss = float(loss)
+        rec = {"epoch": epoch, "train/mll": -loss, "train/loss_ts": time.perf_counter() - t0}
+
+        if (epoch + 1) % args.log_int == 0 or epoch == args.epochs - 1:
+            t0 = time.perf_counter()
+            vm, vv = model.predict(raw, x, y, jnp.asarray(ds.val_x), k2)
+            rec.update({f"val/{k}": v for k, v in regression_metrics(vm, vv, ds.val_y).items()})
+            rec["val/pred_ts"] = time.perf_counter() - t0
+            if stopper.step(rec["val/rmse"], jax.tree.map(np.asarray, raw)):
+                stopped = True
+            if stopper.is_best:
+                with open(out_dir / "model_best.pkl", "wb") as f:
+                    pickle.dump(jax.tree.map(np.asarray, raw), f)
+
+        print(json.dumps(rec), flush=True)
+        log_f.write(json.dumps(rec) + "\n")
+        log_f.flush()
+        if stopped:
+            print(json.dumps({"early_stop": epoch}), flush=True)
+            break
+
+    best_raw = stopper.best_state if stopper.best_state is not None else jax.tree.map(np.asarray, raw)
+    best_raw = jax.tree.map(jnp.asarray, best_raw)
+
+    key, k3 = jax.random.split(key)
+    tm, tv = model.predict(best_raw, x, y, jnp.asarray(ds.test_x), k3)
+    final = {f"test/{k}": v for k, v in regression_metrics(tm, tv, ds.test_y).items()}
+    print(json.dumps(final), flush=True)
+    log_f.write(json.dumps(final) + "\n")
+    log_f.close()
+    with open(out_dir / "model_final.pkl", "wb") as f:
+        pickle.dump(jax.tree.map(np.asarray, best_raw), f)
+    return best_raw, final

@@ -1,0 +1,115 @@
+"""MVM accuracy/speed benchmark: lattice vs exact (reference: experiments/mvm_err.py).
+
+Computes K(X, X) @ y with the lattice filter and with the dense kernel,
+reporting scale-corrected relative error (mvm_err.py:94), cosine error, and
+wall times.  Dense side is O(n^2): capped at --max-exact points (the error
+metrics then use that subset for both operators, like the reference's
+CPU fallback路径).
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+_ROOT = str(pathlib.Path(__file__).resolve().parents[1])
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+_HERE = str(pathlib.Path(__file__).resolve().parent)
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from common import add_common_args, load_dataset  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    p.add_argument("--kernel", default="rbf", choices=["rbf", "matern"])
+    p.add_argument("--nu", type=float, default=1.5)
+    p.add_argument("--order", type=int, default=1)
+    p.add_argument("--max-exact", type=int, default=20000)
+    p.add_argument("--iters", type=int, default=5)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from simplex_gp_tpu.ops import kernels as K
+    from simplex_gp_tpu.ops.lattice import filter_once
+
+    ds = load_dataset(args)
+    x_all = np.concatenate([ds.train_x, ds.val_x, ds.test_x], axis=0)
+    y_all = np.concatenate([ds.train_y, ds.val_y, ds.test_y], axis=0)
+
+    dk = (
+        K.rbf_kernel(args.order)
+        if args.kernel == "rbf"
+        else K.matern_kernel(args.nu, args.order)
+    )
+
+    # --- lattice MVM timing on the full dataset ---
+    x = jnp.asarray(x_all)
+    v = jnp.asarray(y_all[:, None])
+    lat = jax.jit(lambda vv, xx: filter_once(vv, xx, dk.coeffs, dk.variance))
+    out = jax.block_until_ready(lat(v, x))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = lat(v, x)
+    jax.block_until_ready(out)
+    t_lattice = (time.perf_counter() - t0) / args.iters
+
+    # --- accuracy vs dense on a subset ---
+    ns = min(args.max_exact, x_all.shape[0])
+    xs, vs = x_all[:ns], y_all[:ns, None]
+    lat_s = np.asarray(lat(jnp.asarray(vs), jnp.asarray(xs)))
+
+    xj = jnp.asarray(xs)
+
+    @jax.jit
+    def dense_mvm(vv):
+        d2 = ((xj[:, None, :] - xj[None, :, :]) ** 2).sum(-1)
+        if args.kernel == "rbf":
+            Km = jnp.exp(-d2)
+        else:
+            dd = jnp.sqrt(d2 + 1e-12)
+            Km = (1 + jnp.sqrt(3.0) * dd) * jnp.exp(-jnp.sqrt(3.0) * dd)
+        return Km @ vv
+
+    exact = jax.block_until_ready(dense_mvm(jnp.asarray(vs)))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        exact = dense_mvm(jnp.asarray(vs))
+    jax.block_until_ready(exact)
+    t_exact = (time.perf_counter() - t0) / args.iters
+    exact = np.asarray(exact)
+
+    scale = (lat_s * exact).sum() / (lat_s * lat_s).sum()
+    rel = float(np.linalg.norm(scale * lat_s - exact) / np.linalg.norm(exact))
+    cos = float(
+        (lat_s * exact).sum() / (np.linalg.norm(lat_s) * np.linalg.norm(exact))
+    )
+
+    print(
+        json.dumps(
+            {
+                "dataset": args.dataset,
+                "n": int(x_all.shape[0]),
+                "d": int(x_all.shape[1]),
+                "order": args.order,
+                "kernel": args.kernel,
+                "rel_err": rel,
+                "cos_err": cos,
+                "ts/lattice": t_lattice,
+                "ts/exact_subset": t_exact,
+                "exact_subset_n": ns,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Simplex-GP trainer CLI (reference: experiments/train_simplexgp.py).
+
+Example:
+    python experiments/train_simplexgp.py --dataset elevators --order 1 \
+        --kernel matern --nu 1.5 --cg-iter 500 --cg-tol 1.0
+(the reference paper config, configs/simplexgp.yml).
+"""
+
+import argparse
+import pathlib
+import sys
+
+_ROOT = str(pathlib.Path(__file__).resolve().parents[1])
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+_HERE = str(pathlib.Path(__file__).resolve().parent)
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from common import add_common_args, load_dataset, run_training  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    p.add_argument("--kernel", default="rbf", choices=["rbf", "matern"])
+    p.add_argument("--nu", type=float, default=1.5)
+    p.add_argument("--order", type=int, default=1)
+    p.add_argument("--cg-tol", type=float, default=1.0)
+    p.add_argument("--cg-iter", type=int, default=500)
+    p.add_argument("--lanc-iter", type=int, default=100)
+    p.add_argument("--pre-size", type=int, default=0)
+    p.add_argument("--num-probes", type=int, default=10)
+    args = p.parse_args()
+
+    from simplex_gp_tpu import BBMMConfig, SimplexGP
+
+    ds = load_dataset(args)
+    model = SimplexGP(
+        num_dims=ds.train_x.shape[-1],
+        kernel=args.kernel,
+        nu=args.nu,
+        order=args.order,
+        min_noise=args.min_noise,
+        bbmm=BBMMConfig(
+            cg_tolerance=args.cg_tol,
+            max_cg_iterations=args.cg_iter,
+            max_lanczos_iterations=args.lanc_iter,
+            precond_rank=args.pre_size,
+            num_probes=args.num_probes,
+        ),
+    )
+    run_training(model, model.init_params(), ds, args, "simplexgp")
+
+
+if __name__ == "__main__":
+    main()

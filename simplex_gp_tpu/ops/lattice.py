@@ -153,29 +153,43 @@ def lattice_simplex(x: jax.Array, E: jax.Array):
 
 
 def _lex_less(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Row-wise lexicographic a < b for (..., d) int arrays."""
-    d = a.shape[-1]
-    less = jnp.zeros(a.shape[:-1], dtype=bool)
-    all_eq = jnp.ones(a.shape[:-1], dtype=bool)
-    for c in range(d):
-        less = less | (all_eq & (a[..., c] < b[..., c]))
-        all_eq = all_eq & (a[..., c] == b[..., c])
-    return less
+    """Row-wise lexicographic a < b for (..., d) int arrays.
+
+    Vectorized first-difference form (no per-column Python loop): the first
+    differing column decides; equal rows compare False.
+    """
+    neq = a != b
+    any_neq = neq.any(axis=-1)
+    first = jnp.argmax(neq, axis=-1)
+    av = jnp.take_along_axis(a, first[..., None], axis=-1)[..., 0]
+    bv = jnp.take_along_axis(b, first[..., None], axis=-1)[..., 0]
+    return any_neq & (av < bv)
 
 
 def _lex_searchsorted(sorted_keys: jax.Array, queries: jax.Array) -> jax.Array:
     """Indices of exact matches of `queries` rows in lexicographically sorted
-    `sorted_keys` (M, d); returns M (one-past-end sentinel) where absent."""
+    `sorted_keys` (M, d); returns M (one-past-end sentinel) where absent.
+
+    The binary search runs as a ``lax.fori_loop`` so the traced graph is
+    O(1) in M and d -- a Python-unrolled version at elevators scale
+    (M=298k, d=17) produced a graph large enough to stall the XLA compiler.
+    """
     M = sorted_keys.shape[0]
     q = queries.shape[0]
-    lo = jnp.zeros((q,), dtype=jnp.int32)
-    hi = jnp.full((q,), M, dtype=jnp.int32)
-    for _ in range(max(1, M.bit_length())):
+    steps = max(1, int(M).bit_length())
+
+    def body(_, state):
+        lo, hi = state
         mid = (lo + hi) // 2
         row = sorted_keys[mid]
         go_right = _lex_less(row, queries)
         lo = jnp.where(go_right, mid + 1, lo)
         hi = jnp.where(go_right, hi, mid)
+        return lo, hi
+
+    lo0 = jnp.zeros((q,), dtype=jnp.int32)
+    hi0 = jnp.full((q,), M, dtype=jnp.int32)
+    lo, _ = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
     cand = jnp.minimum(lo, M - 1)
     match = jnp.all(sorted_keys[cand] == queries, axis=-1) & (lo < M)
     return jnp.where(match, cand, M).astype(jnp.int32)
@@ -241,13 +255,13 @@ def build_plan(x: jax.Array, coeffs: tuple, blur_variance: float) -> LatticePlan
     seg_ids = jnp.zeros((N,), dtype=jnp.int32).at[perm].set(seg_sorted)
     uniq = jnp.full((N, d), _KEY_SENTINEL, dtype=jnp.int32).at[seg_sorted].set(sk)
 
-    # Precompute blur gather indices, one lexicographic search per axis.
-    offsets = _axis_offsets(d, order)
-    nbrs = []
-    for j in range(dp1):
-        q = (uniq[:, None, :] + jnp.asarray(offsets[j])[None, :, :]).reshape(N * 2 * order, d)
-        nbrs.append(_lex_searchsorted(uniq, q).reshape(N, 2 * order))
-    neighbors = jnp.stack(nbrs, axis=0)
+    # Precompute blur gather indices: ONE batched lexicographic search over
+    # all (axis, lattice point, tap) queries at once.
+    offsets = _axis_offsets(d, order)  # (d+1, 2r, d)
+    q = (uniq[None, :, None, :] + jnp.asarray(offsets)[:, None, :, :]).reshape(
+        dp1 * N * 2 * order, d
+    )
+    neighbors = _lex_searchsorted(uniq, q).reshape(dp1, N, 2 * order)
 
     return LatticePlan(
         seg_ids=seg_ids.reshape(n, dp1),
