@@ -1,0 +1,36 @@
+"""Cross-backend differential test: JAX lattice filter vs C++ golden model.
+
+The reference validates its CUDA backend against its CPU extension with
+torch.allclose on identical inputs (experiments/cuda_test.py:84-106); here
+the independently-implemented C++ hash-map filter is the oracle for the
+sort/segment JAX pipeline.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simplex_gp_tpu.ops import kernels as K
+from simplex_gp_tpu.ops import lattice
+from simplex_gp_tpu.ops.cpu_ref import available, filter_ref
+
+pytestmark = pytest.mark.skipif(not available(), reason="g++ golden model unavailable")
+
+
+@pytest.mark.parametrize("n,d,c,order,kind", [
+    (100, 1, 1, 1, "rbf"),
+    (200, 3, 2, 2, "rbf"),
+    (150, 5, 3, 3, "matern"),
+])
+def test_differential_vs_golden(n, d, c, order, kind):
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    v = rng.normal(size=(n, c)).astype(np.float32)
+    dk = K.rbf_kernel(order) if kind == "rbf" else K.matern_kernel(1.5, order)
+
+    ours = np.asarray(lattice.filter_once(jnp.asarray(v), jnp.asarray(x), dk.coeffs, dk.variance))
+    gold = filter_ref(v, x, np.asarray(dk.coeffs), dk.variance)
+
+    # Same math, different accumulation orders and point->vertex orderings:
+    # agree to f32 roundoff at these sizes.
+    np.testing.assert_allclose(ours, gold, rtol=2e-4, atol=2e-4)
