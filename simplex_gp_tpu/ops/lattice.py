@@ -50,7 +50,10 @@ __all__ = [
     "SLICE_NORM",
 ]
 
-_KEY_SENTINEL = np.int32(2**30)  # sorts after every real lattice coordinate
+# Sentinel hash for empty lattice-table rows.  INT32_MAX sorts after (or ties
+# with) every real hash, keeping the padded unique-hash array pair-sorted for
+# the binary search; the exact-match check rejects sentinel hits.
+_KEY_SENTINEL = np.int32(2**31 - 1)
 
 
 def SLICE_NORM(d: int) -> float:
@@ -152,46 +155,51 @@ def lattice_simplex(x: jax.Array, E: jax.Array):
     return keys, weights
 
 
-def _lex_less(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Row-wise lexicographic a < b for (..., d) int arrays.
+def _hash_vectors(d: int, seed: int = 0x5171) -> np.ndarray:
+    """Two independent odd int32 multiplier vectors for multiply-shift hashing."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 2**32, size=(2, d), dtype=np.uint32) | 1
+    return a.view(np.int32)
 
-    Vectorized first-difference form (no per-column Python loop): the first
-    differing column decides; equal rows compare False.
+
+def _hash_pair(flat: jax.Array, a: np.ndarray):
+    """Linear pair hash of int32 key rows: h_j = sum_i a_ji * k_i (mod 2^32).
+
+    All arithmetic is int32 with two's-complement wraparound (XLA semantics),
+    i.e. exact mod-2^32.  LINEARITY is the load-bearing property: the hash of
+    a neighbor key (key + offset) is hash(key) + hash(offset), so the blur's
+    neighbor lookups never touch the d-dimensional keys at all.
     """
-    neq = a != b
-    any_neq = neq.any(axis=-1)
-    first = jnp.argmax(neq, axis=-1)
-    av = jnp.take_along_axis(a, first[..., None], axis=-1)[..., 0]
-    bv = jnp.take_along_axis(b, first[..., None], axis=-1)[..., 0]
-    return any_neq & (av < bv)
+    a32 = jnp.asarray(a, jnp.int32)
+    h1 = (flat * a32[0]).sum(-1)
+    h2 = (flat * a32[1]).sum(-1)
+    return h1, h2
 
 
-def _lex_searchsorted(sorted_keys: jax.Array, queries: jax.Array) -> jax.Array:
-    """Indices of exact matches of `queries` rows in lexicographically sorted
-    `sorted_keys` (M, d); returns M (one-past-end sentinel) where absent.
+def _pair_searchsorted(s1: jax.Array, s2: jax.Array, q1: jax.Array, q2: jax.Array) -> jax.Array:
+    """Exact-match indices of hash pairs (q1, q2) in the pair-sorted (s1, s2).
 
-    The binary search runs as a ``lax.fori_loop`` so the traced graph is
-    O(1) in M and d -- a Python-unrolled version at elevators scale
-    (M=298k, d=17) produced a graph large enough to stall the XLA compiler.
+    Returns M (one-past-end) where absent.  A ``lax.fori_loop`` binary
+    search: the traced graph is O(1) in M, d, and query count.
     """
-    M = sorted_keys.shape[0]
-    q = queries.shape[0]
+    M = s1.shape[0]
     steps = max(1, int(M).bit_length())
 
     def body(_, state):
         lo, hi = state
         mid = (lo + hi) // 2
-        row = sorted_keys[mid]
-        go_right = _lex_less(row, queries)
+        m1 = s1[mid]
+        m2 = s2[mid]
+        go_right = (m1 < q1) | ((m1 == q1) & (m2 < q2))
         lo = jnp.where(go_right, mid + 1, lo)
         hi = jnp.where(go_right, hi, mid)
         return lo, hi
 
-    lo0 = jnp.zeros((q,), dtype=jnp.int32)
-    hi0 = jnp.full((q,), M, dtype=jnp.int32)
+    lo0 = jnp.zeros(q1.shape, dtype=jnp.int32)
+    hi0 = jnp.full(q1.shape, M, dtype=jnp.int32)
     lo, _ = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
     cand = jnp.minimum(lo, M - 1)
-    match = jnp.all(sorted_keys[cand] == queries, axis=-1) & (lo < M)
+    match = (s1[cand] == q1) & (s2[cand] == q2) & (lo < M)
     return jnp.where(match, cand, M).astype(jnp.int32)
 
 
@@ -244,24 +252,36 @@ def build_plan(x: jax.Array, coeffs: tuple, blur_variance: float) -> LatticePlan
 
     keys, weights = lattice_simplex(x.astype(jnp.float32), E)
     N = n * dp1
-    flat = keys.reshape(N, d)
 
-    # Sort-based dedup: hash table -> lexsort + segment ids.
-    perm = jnp.lexsort(tuple(flat[:, c] for c in reversed(range(d))))
-    sk = flat[perm]
-    is_new = jnp.any(sk != jnp.roll(sk, 1, axis=0), axis=-1).at[0].set(True)
+    # Sort-based dedup on a PAIR of linear int32 hashes instead of the
+    # d-dimensional keys: TPU variadic-sort compile time grows ~quadratically
+    # with the number of sort operands (d=9 keys took 195 s to compile at
+    # N=100k), while runtime is milliseconds either way.  With a 64-bit hash
+    # pair, dedup/neighbor false positives have probability ~N^2/2^64
+    # (~5e-9 at houseelectric scale) -- the same standard the reference's
+    # GPU hash table meets with open addressing + key compare.
+    a = _hash_vectors(d)
+    h1, h2 = _hash_pair(keys.reshape(N, d), a)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    h1s, h2s, perm = jax.lax.sort((h1, h2, idx), num_keys=2)
+    is_new = ((h1s != jnp.roll(h1s, 1)) | (h2s != jnp.roll(h2s, 1))).at[0].set(True)
     seg_sorted = (jnp.cumsum(is_new) - 1).astype(jnp.int32)
     n_lattice = seg_sorted[-1] + 1
     seg_ids = jnp.zeros((N,), dtype=jnp.int32).at[perm].set(seg_sorted)
-    uniq = jnp.full((N, d), _KEY_SENTINEL, dtype=jnp.int32).at[seg_sorted].set(sk)
+    u1 = jnp.full((N,), _KEY_SENTINEL, dtype=jnp.int32).at[seg_sorted].set(h1s)
+    u2 = jnp.full((N,), _KEY_SENTINEL, dtype=jnp.int32).at[seg_sorted].set(h2s)
 
-    # Precompute blur gather indices: ONE batched lexicographic search over
-    # all (axis, lattice point, tap) queries at once.
-    offsets = _axis_offsets(d, order)  # (d+1, 2r, d)
-    q = (uniq[None, :, None, :] + jnp.asarray(offsets)[:, None, :, :]).reshape(
-        dp1 * N * 2 * order, d
-    )
-    neighbors = _lex_searchsorted(uniq, q).reshape(dp1, N, 2 * order)
+    # Blur gather indices: neighbor hash = point hash + offset hash
+    # (linearity), then ONE batched pair binary search for all
+    # (axis, lattice point, tap) queries.
+    offsets = _axis_offsets(d, order).astype(np.int64)  # (d+1, 2r, d)
+    a64 = a.astype(np.int64)
+    wrap = lambda h: ((h & 0xFFFFFFFF).astype(np.uint32)).view(np.int32)
+    oh1 = jnp.asarray(wrap((offsets * a64[0]).sum(-1)))  # (d+1, 2r)
+    oh2 = jnp.asarray(wrap((offsets * a64[1]).sum(-1)))
+    q1 = (u1[None, :, None] + oh1[:, None, :]).reshape(-1)
+    q2 = (u2[None, :, None] + oh2[:, None, :]).reshape(-1)
+    neighbors = _pair_searchsorted(u1, u2, q1, q2).reshape(dp1, N, 2 * order)
 
     return LatticePlan(
         seg_ids=seg_ids.reshape(n, dp1),
