@@ -9,14 +9,19 @@ MVM on its (unnamed) GPU; ``vs_baseline`` is that time divided by ours
 Timing includes the full filter (lattice/plan build + splat/blur/slice), as
 the reference rebuilds its hash table every MVM.  The amortized apply-only
 time (our CG iteration cost, where the plan is reused) is reported inside the
-metric line's auxiliary fields.
+metric line's auxiliary fields, along with the apply time for a batch of 8
+right-hand sides (the shape the BBMM engine actually runs: probes + y solve
+together, and one TPU gather serves 8 f32 columns for the price of 1).
+
+All timings synchronize via a device-to-host transfer (see
+simplex_gp_tpu/utils/timing.py: ``jax.block_until_ready`` returns early on
+the tunneled TPU runtime and must not be trusted for wall-clock numbers).
 
 Prints ONE JSON line on stdout.
 """
 
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -30,34 +35,23 @@ def main():
     sys.path.insert(0, ".")
     from simplex_gp_tpu.ops import kernels as K
     from simplex_gp_tpu.ops.lattice import apply_plan, build_plan, filter_once
+    from simplex_gp_tpu.utils.timing import sync_floor, sync_time
 
     n, d = 16599, 17  # elevators (BASELINE.md)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
     v = jnp.asarray(rng.normal(size=(n, 1)).astype(np.float32))
+    v8 = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
     dk = K.rbf_kernel(1)
 
     full = jax.jit(lambda vv, xx: filter_once(vv, xx, dk.coeffs, dk.variance))
     plan = build_plan(x, dk.coeffs, dk.variance)
-    jax.block_until_ready(plan.seg_ids)
     apply_only = jax.jit(lambda p, vv: apply_plan(p, vv, dk.coeffs))
 
-    # Warmup (compile), then time.
-    jax.block_until_ready(full(v, x))
-    jax.block_until_ready(apply_only(plan, v))
-
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = full(v, x)
-    jax.block_until_ready(out)
-    t_full = (time.perf_counter() - t0) / iters
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = apply_only(plan, v)
-    jax.block_until_ready(out)
-    t_apply = (time.perf_counter() - t0) / iters
+    floor = sync_floor()
+    t_full = max(sync_time(full, v, x, reps=10) - floor, 1e-9)
+    t_apply = max(sync_time(apply_only, plan, v, reps=10) - floor, 1e-9)
+    t_apply8 = max(sync_time(apply_only, plan, v8, reps=10) - floor, 1e-9)
 
     print(
         json.dumps(
@@ -67,6 +61,8 @@ def main():
                 "unit": "ms",
                 "vs_baseline": round(REF_SIMPLEX_MVM_S / t_full, 3),
                 "apply_only_ms": round(t_apply * 1e3, 3),
+                "apply_8rhs_ms": round(t_apply8 * 1e3, 3),
+                "sync_floor_ms": round(floor * 1e3, 3),
                 "n": n,
                 "d": d,
                 "order": 1,

@@ -3,15 +3,14 @@
 Computes K(X, X) @ y with the lattice filter and with the dense kernel,
 reporting scale-corrected relative error (mvm_err.py:94), cosine error, and
 wall times.  Dense side is O(n^2): capped at --max-exact points (the error
-metrics then use that subset for both operators, like the reference's
-CPU fallback路径).
+metrics then use that subset for both operators, mirroring the reference's
+CPU fallback path).
 """
 
 import argparse
 import json
 import pathlib
 import sys
-import time
 
 import numpy as np
 
@@ -23,6 +22,8 @@ if _HERE not in sys.path:
     sys.path.insert(0, _HERE)
 
 from common import add_common_args, load_dataset  # noqa: E402
+
+from simplex_gp_tpu.utils.timing import sync_time  # noqa: E402
 
 
 def main():
@@ -55,12 +56,7 @@ def main():
     x = jnp.asarray(x_all)
     v = jnp.asarray(y_all[:, None])
     lat = jax.jit(lambda vv, xx: filter_once(vv, xx, dk.coeffs, dk.variance))
-    out = jax.block_until_ready(lat(v, x))
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = lat(v, x)
-    jax.block_until_ready(out)
-    t_lattice = (time.perf_counter() - t0) / args.iters
+    t_lattice = sync_time(lat, v, x, reps=args.iters)
 
     # --- accuracy vs dense on a subset ---
     ns = min(args.max_exact, x_all.shape[0])
@@ -79,13 +75,8 @@ def main():
             Km = (1 + jnp.sqrt(3.0) * dd) * jnp.exp(-jnp.sqrt(3.0) * dd)
         return Km @ vv
 
-    exact = jax.block_until_ready(dense_mvm(jnp.asarray(vs)))
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        exact = dense_mvm(jnp.asarray(vs))
-    jax.block_until_ready(exact)
-    t_exact = (time.perf_counter() - t0) / args.iters
-    exact = np.asarray(exact)
+    t_exact = sync_time(dense_mvm, jnp.asarray(vs), reps=args.iters)
+    exact = np.asarray(dense_mvm(jnp.asarray(vs)))
 
     scale = (lat_s * exact).sum() / (lat_s * lat_s).sum()
     rel = float(np.linalg.norm(scale * lat_s - exact) / np.linalg.norm(exact))

@@ -55,6 +55,11 @@ __all__ = [
 # the binary search; the exact-match check rejects sentinel hits.
 _KEY_SENTINEL = np.int32(2**31 - 1)
 
+# Above this many sort rows, the neighbor join falls back from one fused sort
+# to per-axis joins to bound peak HBM (3 int32 arrays of this length live
+# inside the sort).  64M rows ~= 0.8 GB per operand.
+_FUSED_JOIN_MAX_ROWS = 64 * 1024 * 1024
+
 
 def SLICE_NORM(d: int) -> float:
     """Slice normalization constant 1/(1 + 2^-d) (permutohedral.h:507)."""
@@ -181,6 +186,11 @@ def _pair_searchsorted(s1: jax.Array, s2: jax.Array, q1: jax.Array, q2: jax.Arra
 
     Returns M (one-past-end) where absent.  A ``lax.fori_loop`` binary
     search: the traced graph is O(1) in M, d, and query count.
+
+    NOTE: kept as the differential-test oracle for :func:`_pair_join`.  Each
+    search step is a per-query random gather, which XLA executes near-scalar
+    on TPU (~16 ns/element measured on v5e) -- 6.5 s for the elevators plan
+    build.  The production path is the gather-free sort-join below.
     """
     M = s1.shape[0]
     steps = max(1, int(M).bit_length())
@@ -201,6 +211,49 @@ def _pair_searchsorted(s1: jax.Array, s2: jax.Array, q1: jax.Array, q2: jax.Arra
     cand = jnp.minimum(lo, M - 1)
     match = (s1[cand] == q1) & (s2[cand] == q2) & (lo < M)
     return jnp.where(match, cand, M).astype(jnp.int32)
+
+
+def _pair_join(u1: jax.Array, u2: jax.Array, q1: jax.Array, q2: jax.Array) -> jax.Array:
+    """Exact-match indices of (q1, q2) in the pair-sorted unique (u1, u2).
+
+    Returns M (one-past-end) where absent.  TPU-native hash join: ONE
+    ``lax.sort`` of [table; queries] + cumulative maxima -- zero random
+    gathers (the TPU has no fast per-lane gather; sorting is its native
+    "shuffle" primitive).  Replaces the reference's per-query hash-table
+    probes (permutohedral_cuda_kernel.cu:173-201).
+
+    Correctness hinges on two invariants of the sorted concatenation:
+      * rows with equal hash pairs are contiguous (a "group"), and the
+        table row -- unique by construction -- sorts FIRST in its group
+        because its tag (< M) is below every query tag (>= M);
+      * table rows keep their relative order, so "index of the most recent
+        table row" is a running maximum.
+    """
+    M = u1.shape[0]
+    Q = q1.shape[0]
+    h1 = jnp.concatenate([u1, q1])
+    h2 = jnp.concatenate([u2, q2])
+    tag = jnp.arange(M + Q, dtype=jnp.int32)  # table: 0..M-1, queries: M..M+Q-1
+    h1s, h2s, tags = jax.lax.sort((h1, h2, tag), num_keys=3)
+
+    pos = jnp.arange(M + Q, dtype=jnp.int32)
+    is_table = tags < M
+    new_group = jnp.concatenate(
+        [jnp.ones((1,), bool), (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+    )
+    group_start = jax.lax.cummax(jnp.where(new_group, pos, -1))
+    table_pos = jax.lax.cummax(jnp.where(is_table, pos, -1))
+    table_idx = jax.lax.cummax(jnp.where(is_table, tags, -1))
+    matched = table_pos >= group_start  # my group's first row is a table row
+    res = jnp.where(matched & ~is_table, table_idx, M).astype(jnp.int32)
+
+    # Un-sort results back to query-slot order.  A second 2-operand sort
+    # instead of a scatter: XLA scatter runs near-scalar on TPU (~7.6
+    # ns/element measured on v5e) while sort is vectorized; table rows get
+    # key -1 so they sort to the front and are sliced away.
+    slot = jnp.where(is_table, -1, tags - M)
+    res_by_slot = jax.lax.sort((slot, res), num_keys=1)[1]
+    return res_by_slot[M:]
 
 
 def _axis_offsets(d: int, order: int) -> np.ndarray:
@@ -271,17 +324,31 @@ def build_plan(x: jax.Array, coeffs: tuple, blur_variance: float) -> LatticePlan
     u1 = jnp.full((N,), _KEY_SENTINEL, dtype=jnp.int32).at[seg_sorted].set(h1s)
     u2 = jnp.full((N,), _KEY_SENTINEL, dtype=jnp.int32).at[seg_sorted].set(h2s)
 
-    # Blur gather indices: neighbor hash = point hash + offset hash
-    # (linearity), then ONE batched pair binary search for all
-    # (axis, lattice point, tap) queries.
-    offsets = _axis_offsets(d, order).astype(np.int64)  # (d+1, 2r, d)
+    # Blur gather indices.  Neighbor hash = point hash + offset hash (hash
+    # linearity), so the d-dimensional keys are never touched.
+    offsets = _axis_offsets(d, order).astype(np.int64)  # (d+1, 2r, d), taps -r..-1,1..r
     a64 = a.astype(np.int64)
     wrap = lambda h: ((h & 0xFFFFFFFF).astype(np.uint32)).view(np.int32)
     oh1 = jnp.asarray(wrap((offsets * a64[0]).sum(-1)))  # (d+1, 2r)
     oh2 = jnp.asarray(wrap((offsets * a64[1]).sum(-1)))
-    q1 = (u1[None, :, None] + oh1[:, None, :]).reshape(-1)
-    q2 = (u2[None, :, None] + oh2[:, None, :]).reshape(-1)
-    neighbors = _pair_searchsorted(u1, u2, q1, q2).reshape(dp1, N, 2 * order)
+
+    if N * (1 + dp1 * 2 * order) <= _FUSED_JOIN_MAX_ROWS:
+        # One join for every (axis, tap) query at once: a single big sort
+        # beats d+1 sequential small ones (fixed per-sort pass overheads).
+        q1 = (u1[None, None, :] + oh1[:, :, None]).reshape(-1)
+        q2 = (u2[None, None, :] + oh2[:, :, None]).reshape(-1)
+        neighbors = _pair_join(u1, u2, q1, q2).reshape(dp1, 2 * order, N)
+    else:
+        # Houseelectric-scale M (~25M rows) cannot hold all axes' queries at
+        # once; join one lattice axis at a time under lax.map.
+        def axis_neighbors(oh):
+            o1, o2 = oh  # (2r,) offset hashes for one axis
+            q1 = (u1[None, :] + o1[:, None]).reshape(-1)
+            q2 = (u2[None, :] + o2[:, None]).reshape(-1)
+            return _pair_join(u1, u2, q1, q2).reshape(2 * order, N)
+
+        neighbors = jax.lax.map(axis_neighbors, (oh1, oh2))
+    neighbors = jnp.transpose(neighbors, (0, 2, 1))  # (d+1, M, 2r)
 
     return LatticePlan(
         seg_ids=seg_ids.reshape(n, dp1),

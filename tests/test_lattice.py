@@ -109,3 +109,29 @@ def test_duplicate_points_sum():
     # and the (0,1) entry should approximate k(0)=1 at the filter's scale:
     # equal to the diagonal entry.
     np.testing.assert_allclose(out[0, 1], out[0, 0], rtol=1e-4, atol=1e-4)
+
+
+def test_pair_join_matches_binary_search():
+    """The gather-free sort-join must agree with the binary-search oracle."""
+    import numpy as np
+
+    from simplex_gp_tpu.ops.lattice import _pair_join, _pair_searchsorted
+
+    rng = np.random.default_rng(3)
+    M, Q = 512, 4096
+    # Pair-sorted unique table with duplicated-sentinel tail (as in build_plan).
+    t1 = rng.integers(-(2**31), 2**31, size=M, dtype=np.int64)
+    t2 = rng.integers(-(2**31), 2**31, size=M, dtype=np.int64)
+    order = np.lexsort((t2, t1))
+    u1 = jnp.asarray(t1[order], jnp.int32)
+    u2 = jnp.asarray(t2[order], jnp.int32)
+    # Half the queries hit the table, half are random misses.
+    hit = rng.integers(0, M, size=Q // 2)
+    q1 = np.concatenate([t1[order][hit], rng.integers(-(2**31), 2**31, size=Q // 2)])
+    q2 = np.concatenate([t2[order][hit], rng.integers(-(2**31), 2**31, size=Q // 2)])
+    q1 = jnp.asarray(q1, jnp.int32)
+    q2 = jnp.asarray(q2, jnp.int32)
+
+    ref = _pair_searchsorted(u1, u2, q1, q2)
+    got = _pair_join(u1, u2, q1, q2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
