@@ -36,6 +36,7 @@ def cg_solve(
     tol: float = 1.0,
     max_iters: int = 500,
     precond: Optional[Callable[[jax.Array], jax.Array]] = None,
+    axis_name: Optional[str] = None,
 ) -> CGResult:
     """Solve ``A x = b`` for an SPD implicit operator, all columns at once.
 
@@ -48,6 +49,10 @@ def cg_solve(
         stricter and freezes converged columns).
       max_iters: static iteration cap.
       precond: optional V -> P^{-1} V.
+      axis_name: if set (inside shard_map), rows of b are sharded over that
+        mesh axis: every inner product becomes a psum over ICI, and matmul
+        must be the data-sharded operator.  All shards run the identical
+        iteration (same scalars after psum), so control flow stays in sync.
 
     Returns:
       CGResult with the solution block and diagnostics.
@@ -55,15 +60,19 @@ def cg_solve(
     if precond is None:
         precond = lambda v: v
 
+    def dot(u, v):  # column-wise inner products over the (possibly sharded) rows
+        s = (u * v).sum(axis=0)
+        return jax.lax.psum(s, axis_name) if axis_name is not None else s
+
     b = b.astype(jnp.float32)
-    b_norm = jnp.linalg.norm(b, axis=0)  # (t,)
+    b_norm = jnp.sqrt(dot(b, b))  # (t,)
     b_norm = jnp.where(b_norm == 0, 1.0, b_norm)
 
     x0 = jnp.zeros_like(b)
     r0 = b
     z0 = precond(r0)
     p0 = z0
-    rz0 = (r0 * z0).sum(axis=0)  # (t,)
+    rz0 = dot(r0, z0)  # (t,)
 
     def cond(state):
         _, _, _, _, rz, it, done = state
@@ -72,20 +81,20 @@ def cg_solve(
     def body(state):
         x, r, p, z, rz, it, done = state
         ap = matmul(p)
-        pap = (p * ap).sum(axis=0)
+        pap = dot(p, ap)
         # Guard converged / degenerate columns against 0/0.
         alpha = jnp.where(done | (pap == 0), 0.0, rz / jnp.where(pap == 0, 1.0, pap))
         x = x + alpha * p
         r = r - alpha * ap
         z = precond(r)
-        rz_new = (r * z).sum(axis=0)
+        rz_new = dot(r, z)
         beta = jnp.where(done | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
         p = z + beta * p
-        res = jnp.linalg.norm(r, axis=0) / b_norm
+        res = jnp.sqrt(dot(r, r)) / b_norm
         done = done | (res < tol)
         return x, r, p, z, rz_new, it + 1, done
 
-    res0 = jnp.linalg.norm(r0, axis=0) / b_norm
+    res0 = jnp.sqrt(dot(r0, r0)) / b_norm
     state = (x0, r0, p0, z0, rz0, jnp.int32(0), res0 < tol)
     x, r, _, _, _, it, _ = jax.lax.while_loop(cond, body, state)
-    return CGResult(x=x, iterations=it, residual_norm=jnp.linalg.norm(r, axis=0) / b_norm)
+    return CGResult(x=x, iterations=it, residual_norm=jnp.sqrt(dot(r, r)) / b_norm)

@@ -15,7 +15,7 @@ Lanczos ghost-eigenvalue instability in f32.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,17 +34,28 @@ def lanczos(
     z: jax.Array,
     num_iters: int,
     reorthogonalize: bool = True,
+    axis_name: Optional[str] = None,
 ) -> LanczosResult:
-    """Run ``num_iters`` Lanczos steps for every column of z (n, p) at once."""
+    """Run ``num_iters`` Lanczos steps for every column of z (n, p) at once.
+
+    With ``axis_name`` (inside shard_map) the rows of z are sharded over that
+    mesh axis: every reduction over n becomes a psum, and ``matmul`` must be
+    the data-sharded operator.  The recurrence scalars are then identical on
+    all shards, keeping the basis globally consistent.
+    """
     n, p = z.shape
     m = num_iters
     z = z.astype(jnp.float32)
-    q0 = z / jnp.linalg.norm(z, axis=0, keepdims=True)
+
+    def rowsum(v):  # reduce over the (possibly sharded) data axis
+        return jax.lax.psum(v, axis_name) if axis_name is not None else v
+
+    q0 = z / jnp.sqrt(rowsum((z * z).sum(axis=0, keepdims=True)))
 
     def step(carry, i):
         q_prev, q, beta_prev, alive, basis = carry
         aq = matmul(q)
-        alpha = (q * aq).sum(axis=0)  # (p,)
+        alpha = rowsum((q * aq).sum(axis=0))  # (p,)
         r = aq - alpha * q - beta_prev * q_prev
         if reorthogonalize:
             # r <- r - V (V^T r), applied twice (CGS2, "twice is enough"):
@@ -53,9 +64,9 @@ def lanczos(
             # explodes; the second pass makes it stable.  Each pass is one
             # (m, p) contraction batched over probes -- MXU work.
             for _ in range(2):
-                coeff = jnp.einsum("mnp,np->mp", basis, r)
+                coeff = rowsum(jnp.einsum("mnp,np->mp", basis, r))
                 r = r - jnp.einsum("mnp,mp->np", basis, coeff)
-        beta = jnp.linalg.norm(r, axis=0)
+        beta = jnp.sqrt(rowsum((r * r).sum(axis=0)))
         # Breakdown: once the Krylov space of a column is exhausted, beta sits
         # at the f32 orthogonalization noise floor; normalizing r by it feeds
         # non-orthogonal noise into the basis and the recurrence explodes
@@ -63,7 +74,7 @@ def lanczos(
         # trailing T block is a disconnected identity whose e1-weight in SLQ
         # is exactly zero.  Threshold 1e-3*||Aq|| ~ sqrt(eps_f32) relative to
         # the operator scale.
-        aq_norm = jnp.linalg.norm(aq, axis=0)
+        aq_norm = jnp.sqrt(rowsum((aq * aq).sum(axis=0)))
         alive_next = alive & (beta > 1e-3 * jnp.maximum(aq_norm, 1e-30))
         alpha_rec = jnp.where(alive, alpha, 1.0)
         beta_rec = jnp.where(alive_next, beta, 0.0)
@@ -103,6 +114,7 @@ def slq_logdet(
     matmul: Callable[[jax.Array], jax.Array],
     z: jax.Array,
     num_iters: int = 100,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """Stochastic Lanczos quadrature estimate of log|A| from probes z (n, p).
 
@@ -111,7 +123,7 @@ def slq_logdet(
     NLML's log-determinant term.
     """
     n, p = z.shape
-    res = lanczos(matmul, z, num_iters)
+    res = lanczos(matmul, z, num_iters, axis_name=axis_name)
     T = tridiag_matrices(res.alphas, res.betas)
     evals, evecs = jnp.linalg.eigh(T)
     # Clamp: A is SPD but f32 Lanczos can produce tiny negative ritz values.
@@ -119,6 +131,8 @@ def slq_logdet(
     w = evecs[:, 0, :] ** 2  # (p, m) first-row weights
     quad = (w * jnp.log(evals)).sum(axis=-1)  # (p,)
     z_norm2 = (z * z).sum(axis=0)
+    if axis_name is not None:
+        z_norm2 = jax.lax.psum(z_norm2, axis_name)
     return (z_norm2 * quad).mean()
 
 

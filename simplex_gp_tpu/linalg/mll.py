@@ -49,6 +49,11 @@ class BBMMConfig:
     max_lanczos_iterations: int = 100
     precond_rank: int = 0  # 0 disables the pivoted-Cholesky preconditioner
     num_probes: int = 10
+    # Mesh axis for data-sharded training (set inside shard_map over the data
+    # axis; see parallel/shard_filter.py).  x/y/probes then hold this shard's
+    # rows; all reductions psum over the axis.  New capability vs the
+    # single-device reference (SURVEY.md section 2.7).
+    axis_name: Optional[str] = None
     # "exact": autodiff through the real splat/blur/slice pipeline (gradient
     # of the operator actually applied; see ops/filter.py).  "deriv_filter":
     # reference-parity derivative-coefficient filter (bilateral_kernel.py
@@ -56,11 +61,19 @@ class BBMMConfig:
     grad_mode: str = "exact"
 
 
-def _khat_matmul_diff(params, x, dk: DiscretizedKernel, V, grad_mode: str):
+def _khat_matmul_diff(params, x, dk: DiscretizedKernel, V, grad_mode: str, axis_name=None):
     """Differentiable K_hat(params) @ V; gradient path per ``grad_mode``."""
     ref = x * params["inv_ell"]
-    filt = lattice_filter_exact_grad if grad_mode == "exact" else lattice_filter
-    return params["outputscale"] * filt(V, ref, dk) + params["noise"] * V
+    if axis_name is not None:
+        # Sharded path: exact autodiff through the collective filter (the
+        # derivative-coefficient approximation is single-device only).
+        from ..parallel.shard_filter import filter_sharded
+
+        ky = filter_sharded(V, ref, dk, axis_name)
+    else:
+        filt = lattice_filter_exact_grad if grad_mode == "exact" else lattice_filter
+        ky = filt(V, ref, dk)
+    return params["outputscale"] * ky + params["noise"] * V
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -83,13 +96,23 @@ def lattice_inv_quad_logdet(dk, config, params, x, y, probes):
 
 def _solve_system(dk, config, params, x, y, probes):
     ref = x * params["inv_ell"]
-    plan = build_plan(ref, dk.coeffs, dk.variance)
+    if config.axis_name is not None:
+        from ..parallel.shard_filter import build_plan_sharded
+
+        plan = build_plan_sharded(ref, dk.coeffs, dk.variance, config.axis_name)
+    else:
+        plan = build_plan(ref, dk.coeffs, dk.variance)
     s, noise = params["outputscale"], params["noise"]
 
     def mv(V):
-        return s * apply_plan(plan, V, dk.coeffs) + noise * V
+        return s * apply_plan(plan, V, dk.coeffs, axis_name=config.axis_name) + noise * V
 
     precond = None
+    if config.precond_rank > 0 and config.axis_name is not None:
+        raise NotImplementedError(
+            "pivoted-Cholesky preconditioning is not yet data-sharded; "
+            "set precond_rank=0 when axis_name is used"
+        )
     if config.precond_rank > 0:
         n = x.shape[0]
 
@@ -107,9 +130,10 @@ def _solve_system(dk, config, params, x, y, probes):
         tol=config.cg_tolerance,
         max_iters=config.max_cg_iterations,
         precond=precond,
+        axis_name=config.axis_name,
     )
     m = min(config.max_lanczos_iterations, x.shape[0])
-    logdet = slq_logdet(mv, probes, m)
+    logdet = slq_logdet(mv, probes, m, axis_name=config.axis_name)
     return res.x, logdet
 
 
@@ -117,6 +141,8 @@ def _iql_fwd(dk, config, params, x, y, probes):
     solves, logdet = _solve_system(dk, config, params, x, y, probes)
     alpha = solves[:, 0]
     inv_quad = (y * alpha).sum()
+    if config.axis_name is not None:
+        inv_quad = jax.lax.psum(inv_quad, config.axis_name)
     residuals = (params, x, y, probes, alpha, solves[:, 1:])
     return (inv_quad, logdet), residuals
 
@@ -130,8 +156,14 @@ def _iql_bwd(dk, config, residuals, cotangents):
     U = jnp.concatenate([(-a) * alpha[:, None], (b / p) * z_solves], axis=-1)
     V = jnp.concatenate([alpha[:, None], probes], axis=-1)
 
-    _, vjp = jax.vjp(lambda prm: _khat_matmul_diff(prm, x, dk, V, config.grad_mode), params)
+    _, vjp = jax.vjp(
+        lambda prm: _khat_matmul_diff(prm, x, dk, V, config.grad_mode, config.axis_name),
+        params,
+    )
     (grad_params,) = vjp(U)
+    # NOTE (sharded): grad_params here is this shard's partial contribution;
+    # the data-parallel wrapper psums parameter gradients once at the end
+    # (parallel/mesh.py), which also covers the mean-parameter path.
 
     grad_y = 2.0 * a * alpha
     return grad_params, jnp.zeros_like(x), grad_y, jnp.zeros_like(probes)
@@ -149,6 +181,8 @@ def lattice_nlml(dk, config, params, x, y, probes, mean: Optional[jax.Array] = N
     to override.
     """
     n = y.shape[0]
+    if config.axis_name is not None:
+        n = n * jax.lax.axis_size(config.axis_name)
     mu = params.get("mean", 0.0) if mean is None else mean
     yc = y - mu
     inv_quad, logdet = lattice_inv_quad_logdet(dk, config, params, x, yc, probes)

@@ -70,10 +70,28 @@ class SimplexGP:
 
     # ----- training -----
 
-    def nlml(self, raw: dict, x: jax.Array, y: jax.Array, key: jax.Array) -> jax.Array:
-        """Negative log marginal likelihood / n (the training loss)."""
-        probes = _rademacher(key, (x.shape[0], self.bbmm.num_probes))
-        return lattice_nlml(self.dk, self.bbmm, self.constrained(raw), x, y, probes)
+    def nlml(
+        self,
+        raw: dict,
+        x: jax.Array,
+        y: jax.Array,
+        key: jax.Array,
+        axis_name: Optional[str] = None,
+    ) -> jax.Array:
+        """Negative log marginal likelihood / n (the training loss).
+
+        With ``axis_name`` (inside shard_map over the data axis) x/y hold
+        this shard's rows and the full BBMM engine runs data-sharded
+        (parallel/shard_filter.py).  The probe key is folded with the shard
+        index so Hutchinson probes are independent ACROSS shards -- identical
+        per-shard blocks would bias the trace estimator.
+        """
+        cfg = self.bbmm
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+            cfg = dataclasses.replace(cfg, axis_name=axis_name)
+        probes = _rademacher(key, (x.shape[0], cfg.num_probes))
+        return lattice_nlml(self.dk, cfg, self.constrained(raw), x, y, probes)
 
     # ----- prediction -----
 

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -290,21 +290,29 @@ class LatticePlan(NamedTuple):
     n_lattice: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("coeffs", "blur_variance"))
-def build_plan(x: jax.Array, coeffs: tuple, blur_variance: float) -> LatticePlan:
-    """Build the reusable filter plan for positions ``x`` (n, d).
+def _point_hashes(x: jax.Array, E: jax.Array, a: np.ndarray):
+    """Per-point lattice geometry reduced to hash pairs: (h1, h2, weights).
 
-    Replaces the reference hash-table construction (splat side) and the
-    per-MVM neighbor hashing of the blur with one sort + one batched
-    lexicographic binary search.
+    h1/h2 are (n*(d+1),) int32 linear hashes of the simplex-vertex keys;
+    weights are the (n, d+1) barycentric splat weights.  This is the only
+    position-dependent, O(n) part of plan construction -- the distributed
+    builder (parallel/shard_filter.py) computes it per shard and all-gathers
+    just these hashes.
     """
     n, d = x.shape
-    dp1 = d + 1
-    order = (len(coeffs) - 1) // 2
-    E = jnp.asarray(build_rotation(d, blur_variance))
-
     keys, weights = lattice_simplex(x.astype(jnp.float32), E)
-    N = n * dp1
+    h1, h2 = _hash_pair(keys.reshape(n * (d + 1), d), a)
+    return h1, h2, weights
+
+
+def _plan_tables(h1: jax.Array, h2: jax.Array, d: int, order: int, a: np.ndarray):
+    """Dedup + neighbor tables from the full set of vertex hashes.
+
+    Returns (seg_ids (N,), neighbors (d+1, N, 2r), n_lattice).  Pure function
+    of the hash arrays: replicated across shards in the distributed path.
+    """
+    N = h1.shape[0]
+    dp1 = d + 1
 
     # Sort-based dedup on a PAIR of linear int32 hashes instead of the
     # d-dimensional keys: TPU variadic-sort compile time grows ~quadratically
@@ -313,8 +321,6 @@ def build_plan(x: jax.Array, coeffs: tuple, blur_variance: float) -> LatticePlan
     # pair, dedup/neighbor false positives have probability ~N^2/2^64
     # (~5e-9 at houseelectric scale) -- the same standard the reference's
     # GPU hash table meets with open addressing + key compare.
-    a = _hash_vectors(d)
-    h1, h2 = _hash_pair(keys.reshape(N, d), a)
     idx = jnp.arange(N, dtype=jnp.int32)
     h1s, h2s, perm = jax.lax.sort((h1, h2, idx), num_keys=2)
     is_new = ((h1s != jnp.roll(h1s, 1)) | (h2s != jnp.roll(h2s, 1))).at[0].set(True)
@@ -349,7 +355,23 @@ def build_plan(x: jax.Array, coeffs: tuple, blur_variance: float) -> LatticePlan
 
         neighbors = jax.lax.map(axis_neighbors, (oh1, oh2))
     neighbors = jnp.transpose(neighbors, (0, 2, 1))  # (d+1, M, 2r)
+    return seg_ids, neighbors, n_lattice
 
+
+@functools.partial(jax.jit, static_argnames=("coeffs", "blur_variance"))
+def build_plan(x: jax.Array, coeffs: tuple, blur_variance: float) -> LatticePlan:
+    """Build the reusable filter plan for positions ``x`` (n, d).
+
+    Replaces the reference hash-table construction (splat side) and the
+    per-MVM neighbor hashing of the blur with one dedup sort + one sort-join.
+    """
+    n, d = x.shape
+    dp1 = d + 1
+    order = (len(coeffs) - 1) // 2
+    E = jnp.asarray(build_rotation(d, blur_variance))
+    a = _hash_vectors(d)
+    h1, h2, weights = _point_hashes(x, E, a)
+    seg_ids, neighbors, n_lattice = _plan_tables(h1, h2, d, order, a)
     return LatticePlan(
         seg_ids=seg_ids.reshape(n, dp1),
         weights=weights,
@@ -358,13 +380,22 @@ def build_plan(x: jax.Array, coeffs: tuple, blur_variance: float) -> LatticePlan
     )
 
 
-@functools.partial(jax.jit, static_argnames=("coeffs",))
-def apply_plan(plan: LatticePlan, v: jax.Array, coeffs: tuple) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("coeffs", "axis_name"))
+def apply_plan(
+    plan: LatticePlan, v: jax.Array, coeffs: tuple, axis_name: Optional[str] = None
+) -> jax.Array:
     """Apply the lattice kernel operator: out ~= K(x, x) @ v, for v (n, c).
 
     splat (segment_sum) -> d+1 axis blurs (gather + taps) -> slice (gather).
     Linear and exactly symmetric in v by construction (S^T B S with
     symmetric taps), so the VJP w.r.t. v is the same operator.
+
+    With ``axis_name`` (inside shard_map over the data axis), ``plan`` is a
+    per-shard plan from parallel/shard_filter.py: v holds the shard's rows,
+    the lattice table is the GLOBAL shared state, and the per-shard splat
+    partial sums combine in ONE psum over ICI -- the lattice analogue of the
+    KV ring in ring attention (SURVEY.md section 5).  Blur runs replicated
+    (it is O(M), not O(n)); slice reads back only local rows.
     """
     n, dp1 = plan.seg_ids.shape
     d = dp1 - 1
@@ -379,6 +410,8 @@ def apply_plan(plan: LatticePlan, v: jax.Array, coeffs: tuple) -> jax.Array:
     # Splat: scatter-add barycentric-weighted values into the lattice table.
     contrib = (v[:, None, :] * plan.weights[:, :, None]).reshape(n * dp1, c)
     table = jax.ops.segment_sum(contrib, plan.seg_ids.reshape(-1), num_segments=M)
+    if axis_name is not None:
+        table = jax.lax.psum(table, axis_name)
 
     # Blur: d+1 sequential banded passes along the lattice axes.
     tap_list = [t for t in range(-order, order + 1) if t != 0]

@@ -1,1 +1,8 @@
-from .mesh import data_parallel_loss_fn, make_mesh, replicate, shard_batch  # noqa: F401
+from .mesh import (  # noqa: F401
+    data_parallel_loss_fn,
+    gspmd_loss_fn,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from .shard_filter import build_plan_sharded, filter_sharded  # noqa: F401

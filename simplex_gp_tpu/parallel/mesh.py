@@ -10,12 +10,13 @@ MVM and CG:
     reduction; slice is local to each shard's points;
   * CG inner products and NLML terms are global reductions over n.
 
-Round-1 implementation strategy: GSPMD.  The whole NLML/gradient step is
-jitted with NamedSharding'd inputs and XLA's SPMD partitioner propagates the
-data sharding through sort/segment_sum/gather, inserting the collectives
-(psum for reductions, all-to-all for the dedup sort) over ICI.  An explicit
-shard_map lattice with blur sharded over lattice rows is the planned
-optimized path (SURVEY.md section 7, build step 8).
+Primary path: EXPLICIT shard_map (``data_parallel_loss_fn``) -- per-shard
+lattice geometry, all_gather of the vertex hashes for the (replicated)
+global dedup/neighbor tables, one psum per filter MVM to combine the
+per-shard lattice tables, psum'd CG/Lanczos inner products
+(parallel/shard_filter.py; SURVEY.md section 7, build step 8).
+``gspmd_loss_fn`` keeps the compiler-partitioned alternative as a
+cross-check.
 """
 
 from __future__ import annotations
@@ -65,12 +66,37 @@ def replicate(mesh: Mesh, tree):
 
 
 def data_parallel_loss_fn(model, mesh: Mesh, axis_name: str = "data"):
-    """Jitted (loss, grads) function with data-sharded inputs.
+    """Explicit shard_map (loss, grads) function over the data axis.
 
-    Params are replicated; x/y shard over the leading axis.  Returns a
-    function (raw, x, y, key) -> (loss, grads) whose computation XLA
-    partitions over the mesh.
+    Params are replicated; x/y shard over the leading axis.  Inside the
+    shard each device runs the data-sharded BBMM engine (per-shard lattice
+    geometry, one psum per filter MVM for the global lattice table, psum'd
+    CG/Lanczos inner products -- parallel/shard_filter.py); parameter
+    gradients are partial per shard and combined with one final psum.
     """
+    def per_shard(raw, x_loc, y_loc, key):
+        loss, grads = jax.value_and_grad(
+            lambda r: model.nlml(r, x_loc, y_loc, key, axis_name=axis_name)
+        )(raw)
+        # loss is already global (psum'd inside the engine); grads are this
+        # shard's partial contributions.
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, axis_name), grads)
+        return loss, grads
+
+    mapped = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name, None), P(axis_name), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def gspmd_loss_fn(model, mesh: Mesh, axis_name: str = "data"):
+    """GSPMD alternative: jit the single-device NLML with sharded inputs and
+    let XLA's SPMD partitioner propagate shardings/collectives.  Kept as a
+    cross-check against the explicit shard_map path."""
 
     def loss(raw, x, y, key):
         return model.nlml(raw, x, y, key)
