@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from .kernels import DiscretizedKernel
-from .lattice import apply_plan, build_plan
+from .lattice import apply_plan, apply_plan_join, build_plan, build_plan_join
 
 __all__ = ["lattice_filter", "lattice_filter_exact_grad"]
 
@@ -114,8 +114,11 @@ def _bwd(dk, residuals, g):
     stacked = jnp.concatenate(
         [g, gf.reshape(n, L * d), src, sf.reshape(n, L * d)], axis=-1
     )
-    dplan = build_plan(ref, dk.deriv_coeffs, dk.deriv_variance)
-    filtered = apply_plan(dplan, stacked, dk.deriv_coeffs)
+    # Join plan here: ``stacked`` has 2L(1+d) columns, and the chain plan's
+    # transition sorts carry every column as a sort operand (gathers in the
+    # join plan are column-count-independent; see apply_plan_chain docstring).
+    dplan = build_plan_join(ref, dk.deriv_coeffs, dk.deriv_variance)
+    filtered = apply_plan_join(dplan, stacked, dk.deriv_coeffs)
     wg = filtered[:, :L]
     wgf = filtered[:, L : L + L * d].reshape(n, L, d)
     ws = filtered[:, L + L * d : 2 * L + L * d]

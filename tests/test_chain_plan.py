@@ -1,0 +1,114 @@
+"""Differential tests: sort-chain plan vs join plan (and via it, vs dense).
+
+The join plan (build_plan_join/apply_plan_join) is itself validated against
+dense O(n^2) kernels and the native C++ golden model (test_lattice.py,
+test_cpu_ref.py); here the chain engine -- the production TPU path -- is held
+to the join engine at float precision on the same (src, ref, coeffs), across
+dimensions, orders, and kernels, plus property checks of its own.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simplex_gp_tpu.ops import kernels, lattice
+
+
+def _data(n, d, c=3, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    return x, v
+
+
+@pytest.mark.parametrize(
+    "n,d,order,kernel",
+    [
+        (200, 1, 1, "rbf"),
+        (300, 3, 1, "rbf"),
+        (257, 5, 2, "rbf"),
+        (150, 2, 3, "matern"),
+        (400, 9, 1, "matern"),
+        (64, 17, 1, "rbf"),
+    ],
+)
+def test_chain_matches_join(n, d, order, kernel):
+    dk = kernels.rbf_kernel(order) if kernel == "rbf" else kernels.matern_kernel(1.5, order)
+    x, v = _data(n, d)
+    pj = lattice.build_plan_join(x, dk.coeffs, dk.variance)
+    aj = np.asarray(lattice.apply_plan_join(pj, v, dk.coeffs))
+    pc = lattice.build_plan_chain(x, dk.coeffs, dk.variance)
+    ac = np.asarray(lattice.apply_plan_chain(pc, v, dk.coeffs))
+    rel = np.linalg.norm(ac - aj) / np.linalg.norm(aj)
+    assert rel < 2e-5, rel
+    assert int(pc.n_lattice) == int(pj.n_lattice)
+
+
+def test_chain_is_default_plan():
+    dk = kernels.rbf_kernel(1)
+    x, v = _data(128, 4)
+    plan = lattice.build_plan(x, dk.coeffs, dk.variance)
+    assert isinstance(plan, lattice.ChainPlan)
+    out = lattice.apply_plan(plan, v, dk.coeffs)
+    ref = lattice.apply_plan_chain(plan, v, dk.coeffs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+
+def test_chain_symmetry_matches_join():
+    """The operator's (small) asymmetry is the blur-axis commutator, inherent
+    to the splat->sequential-axis-blurs->slice algorithm (the reference has
+    it too: bilateral_kernel.py:111 treats K as symmetric).  The chain engine
+    must reproduce the join engine's quadratic forms exactly -- same operator,
+    same commutator."""
+    dk = kernels.rbf_kernel(1)
+    x, _ = _data(300, 4)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.normal(size=(300, 1)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(300, 1)).astype(np.float32))
+
+    def forms(bp, ap):
+        plan = bp(x, dk.coeffs, dk.variance)
+        Ku = ap(plan, u, dk.coeffs)
+        Kv = ap(plan, v, dk.coeffs)
+        return float((u * Kv).sum()), float((v * Ku).sum())
+
+    cj = forms(lattice.build_plan_join, lattice.apply_plan_join)
+    cc = forms(lattice.build_plan_chain, lattice.apply_plan_chain)
+    np.testing.assert_allclose(cc, cj, rtol=1e-5)
+
+
+def test_chain_linearity():
+    dk = kernels.rbf_kernel(2)
+    x, _ = _data(200, 3)
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.normal(size=(200, 2)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(200, 2)).astype(np.float32))
+    plan = lattice.build_plan_chain(x, dk.coeffs, dk.variance)
+    lhs = lattice.apply_plan_chain(plan, 2.0 * u - 3.0 * v, dk.coeffs)
+    rhs = 2.0 * lattice.apply_plan_chain(plan, u, dk.coeffs) - 3.0 * lattice.apply_plan_chain(
+        plan, v, dk.coeffs
+    )
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), rtol=1e-4, atol=1e-5)
+
+
+def test_chain_grad_matches_join_grad():
+    """Reverse-mode AD through the chain pipeline (sorts/cumsum/gathers) must
+    agree with AD through the join pipeline (segment_sum/gathers): both
+    differentiate the same math w.r.t. src and ref (through the barycentric
+    weights)."""
+    dk = kernels.rbf_kernel(1)
+    x, v = _data(120, 3, c=1, seed=3)
+
+    def loss_chain(xx, vv):
+        p = lattice.build_plan_chain(xx, dk.coeffs, dk.variance)
+        return (lattice.apply_plan_chain(p, vv, dk.coeffs) ** 2).sum()
+
+    def loss_join(xx, vv):
+        p = lattice.build_plan_join(xx, dk.coeffs, dk.variance)
+        return (lattice.apply_plan_join(p, vv, dk.coeffs) ** 2).sum()
+
+    gx_c, gv_c = jax.grad(loss_chain, argnums=(0, 1))(x, v)
+    gx_j, gv_j = jax.grad(loss_join, argnums=(0, 1))(x, v)
+    np.testing.assert_allclose(np.asarray(gv_c), np.asarray(gv_j), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_j), rtol=1e-3, atol=1e-4)
