@@ -591,29 +591,17 @@ def _axis_tap_weights(c1s, c2ps, step: int, order: int, taps):
     return jnp.stack(rows, axis=-2)  # (..., r, M)
 
 
-@functools.partial(jax.jit, static_argnames=("coeffs", "blur_variance"))
-def build_plan_chain(x: jax.Array, coeffs: tuple, blur_variance: float) -> ChainPlan:
-    """Build the sort-chain filter plan for positions ``x`` (n, d).
+def _chain_core(h1: jax.Array, h2: jax.Array, s: jax.Array, d: int, order: int, cs):
+    """Global chain tables from the full set of vertex (hash-pair, coord-sum).
 
-    One fused dedup+axis-0 sort over the n*(d+1) simplex vertices, one
-    batched sort over axes 1..d-1 (carrying the NEXT axis's chain keys as
-    payloads, so the apply-time transition keys come out directly), and two
-    small sorts for the final axis.  No scatter, no neighbor join.
+    Pure function of the hash/coordinate-sum arrays: the distributed builder
+    (parallel/shard_filter.py) all-gathers just these 12 bytes/vertex and
+    every shard deterministically computes IDENTICAL global tables.
+
+    Returns (dest, seg_orig, cnt, k1, k2, tapw, rank_d, n_lattice); shapes as
+    in :class:`ChainPlan`, with table capacity M = len(h1).
     """
-    cs = np.asarray(coeffs, np.float64)
-    if not np.allclose(cs, cs[::-1]):
-        raise ValueError("chain plan requires symmetric filter taps")
-    n, d = x.shape
-    dp1 = d + 1
-    order = (len(coeffs) - 1) // 2
-    M = n * dp1
-    E = jnp.asarray(build_rotation(d, blur_variance))
-    a = _hash_vectors(d)
-
-    keys, weights = lattice_simplex(x.astype(jnp.float32), E)
-    flat = keys.reshape(M, d)
-    h1, h2 = _hash_pair(flat, a)
-    s = flat.sum(-1)
+    M = h1.shape[0]
     iota = jnp.arange(M, dtype=jnp.int32)
 
     # ---- fused dedup + axis-0 chain sort over contributions -------------
@@ -689,6 +677,35 @@ def build_plan_chain(x: jax.Array, coeffs: tuple, blur_variance: float) -> Chain
         k2 = jnp.zeros((1, M), jnp.int32)
         tapw = jnp.stack([m0, md], axis=0)
 
+    return dest, seg_orig, cnt, k1, k2, tapw, rank_d, n_lattice
+
+
+@functools.partial(jax.jit, static_argnames=("coeffs", "blur_variance"))
+def build_plan_chain(x: jax.Array, coeffs: tuple, blur_variance: float) -> ChainPlan:
+    """Build the sort-chain filter plan for positions ``x`` (n, d).
+
+    One fused dedup+axis-0 sort over the n*(d+1) simplex vertices, one
+    batched sort over axes 1..d-1 (carrying the NEXT axis's chain keys as
+    payloads, so the apply-time transition keys come out directly), and two
+    small sorts for the final axis.  No scatter, no neighbor join.
+    """
+    cs = np.asarray(coeffs, np.float64)
+    if not np.allclose(cs, cs[::-1]):
+        raise ValueError("chain plan requires symmetric filter taps")
+    n, d = x.shape
+    dp1 = d + 1
+    order = (len(coeffs) - 1) // 2
+    E = jnp.asarray(build_rotation(d, blur_variance))
+    a = _hash_vectors(d)
+
+    keys, weights = lattice_simplex(x.astype(jnp.float32), E)
+    flat = keys.reshape(n * dp1, d)
+    h1, h2 = _hash_pair(flat, a)
+    s = flat.sum(-1)
+
+    dest, seg_orig, cnt, k1, k2, tapw, rank_d, n_lattice = _chain_core(
+        h1, h2, s, d, order, cs
+    )
     slice_idx = rank_d[seg_orig].reshape(n, dp1)
     return ChainPlan(
         dest=dest,
@@ -719,12 +736,20 @@ def _chain_stencil(tab: jax.Array, tapw_j: jax.Array, center: float, order: int)
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("coeffs",))
-def apply_plan_chain(plan: ChainPlan, v: jax.Array, coeffs: tuple) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("coeffs", "axis_name"))
+def apply_plan_chain(
+    plan: ChainPlan, v: jax.Array, coeffs: tuple, axis_name: Optional[str] = None
+) -> jax.Array:
     """Apply the lattice kernel operator via the sort-chain plan: K(x,x) @ v.
 
     splat (sort + cumsum + boundary diff) -> d+1 shift stencils with d
     transition sorts -> slice (gather).  Zero gathers in the blur itself.
+
+    With ``axis_name`` (inside shard_map over the data axis), ``plan`` is a
+    per-shard plan from parallel/shard_filter.py: v holds this shard's rows,
+    dest/cnt route the LOCAL contributions into the GLOBAL table layout, and
+    the per-shard partial tables combine in ONE psum over ICI; the blur runs
+    replicated (O(M), not O(n)) and slice reads back only local rows.
 
     NOTE: every transition sort carries all value columns as payloads; for
     very wide v (> ~32 columns; e.g. the fused derivative-coefficient
@@ -733,7 +758,7 @@ def apply_plan_chain(plan: ChainPlan, v: jax.Array, coeffs: tuple) -> jax.Array:
     """
     n, dp1 = plan.weights.shape
     d = dp1 - 1
-    M = plan.cnt.shape[0]
+    M = plan.cnt.shape[0]  # global table capacity
     order = plan.tapw.shape[1]
     taps = [float(t) for t in np.asarray(coeffs)]
     assert len(taps) == 2 * order + 1
@@ -742,12 +767,15 @@ def apply_plan_chain(plan: ChainPlan, v: jax.Array, coeffs: tuple) -> jax.Array:
     c = v.shape[-1]
     cols = lambda t: tuple(t[:, k] for k in range(c))
 
-    # Splat: route contributions into table order, segment-sum by cumsum.
-    contrib = (v[:, None, :] * plan.weights[:, :, None]).reshape(M, c)
+    # Splat: route (this shard's) contributions into global-table order,
+    # segment-sum by cumulative sum + per-row boundary difference.
+    contrib = (v[:, None, :] * plan.weights[:, :, None]).reshape(n * dp1, c)
     sc = jax.lax.sort((plan.dest,) + cols(contrib), num_keys=1)[1:]
     csum = jnp.cumsum(jnp.stack(sc, axis=-1), axis=0)
     L = jnp.concatenate([jnp.zeros((1, c), jnp.float32), csum], axis=0)[plan.cnt]
     table = L - jnp.concatenate([jnp.zeros((1, c), jnp.float32), L[:-1]], axis=0)
+    if axis_name is not None:
+        table = jax.lax.psum(table, axis_name)
 
     # Blur: shift stencil per axis, one transition sort between axes.
     for j in range(dp1):
@@ -774,10 +802,5 @@ def apply_plan(plan, v: jax.Array, coeffs: tuple, axis_name: Optional[str] = Non
     (``axis_name`` inside shard_map; see parallel/shard_filter.py).
     """
     if isinstance(plan, ChainPlan):
-        if axis_name is not None:
-            raise NotImplementedError(
-                "sort-chain plan is single-device; use the join plan "
-                "(parallel/shard_filter.py) for data-sharded filtering"
-            )
-        return apply_plan_chain(plan, v, coeffs)
+        return apply_plan_chain(plan, v, coeffs, axis_name=axis_name)
     return apply_plan_join(plan, v, coeffs, axis_name=axis_name)

@@ -5,4 +5,8 @@ from .mesh import (  # noqa: F401
     replicate,
     shard_batch,
 )
-from .shard_filter import build_plan_sharded, filter_sharded  # noqa: F401
+from .shard_filter import (  # noqa: F401
+    build_plan_sharded,
+    build_plan_sharded_join,
+    filter_sharded,
+)

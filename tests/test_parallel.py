@@ -66,6 +66,38 @@ def test_sharded_filter_matches_single_device():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_chain_matches_sharded_join():
+    """The two sharded engines (sort-chain vs gather-join) agree on the same
+    shards, probes-free, at float precision."""
+    from simplex_gp_tpu.ops.kernels import matern_kernel
+    from simplex_gp_tpu.parallel import build_plan_sharded_join
+
+    dk = matern_kernel(1.5, 2)
+    x, _ = _problem(n=64, d=4, seed=5)
+    rng = np.random.default_rng(6)
+    v = rng.normal(size=(64, 3)).astype(np.float32)
+    mesh = make_mesh()
+
+    def run(builder):
+        def shard_fn(x_loc, v_loc):
+            p = builder(x_loc, dk.coeffs, dk.variance, "data")
+            return apply_plan(p, v_loc, dk.coeffs, axis_name="data")
+
+        return np.asarray(
+            shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P("data", None), P("data", None)),
+                out_specs=P("data", None),
+                check_vma=False,
+            )(jnp.asarray(x), jnp.asarray(v))
+        )
+
+    out_chain = run(build_plan_sharded)
+    out_join = run(build_plan_sharded_join)
+    np.testing.assert_allclose(out_chain, out_join, rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_engine_matches_single_device_same_probes():
     """inv_quad/logdet and parameter grads: shard_map == single device,
     bit-for-bit up to f32 reduction ordering, when probes are shared."""
