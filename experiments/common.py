@@ -28,6 +28,13 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--min-noise", type=float, default=1e-4)
     p.add_argument("--out", default="runs")
     p.add_argument("--max-n", type=int, default=0, help="optional training-subset cap")
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="resume from the run directory's checkpoint.pkl (params, "
+        "optimizer state, epoch, early-stopper) -- a capability the "
+        "reference lacks (SURVEY.md section 5: save-only)",
+    )
     return p
 
 
@@ -81,8 +88,43 @@ def run_training(model, raw, ds, args, name: str):
 
     stopper = EarlyStopper(patience=args.patience)
     key = jax.random.PRNGKey(args.seed)
+    start_epoch = 0
+    ckpt_path = out_dir / "checkpoint.pkl"
+    if getattr(args, "resume", False) and ckpt_path.exists():
+        with open(ckpt_path, "rb") as f:
+            ck = pickle.load(f)
+        raw = jax.tree.map(jnp.asarray, ck["raw"])
+        opt_state = jax.tree.map(
+            lambda t, c: jnp.asarray(c) if hasattr(t, "dtype") else c,
+            opt_state,
+            ck["opt_state"],
+        )
+        stopper = EarlyStopper(patience=args.patience, **ck["stopper"])
+        key = jnp.asarray(ck["key"])
+        start_epoch = ck["epoch"] + 1
+        print(json.dumps({"resumed_from_epoch": ck["epoch"]}), flush=True)
+
+    def save_checkpoint(epoch):
+        tonp = lambda t: jax.tree.map(np.asarray, t)
+        with open(ckpt_path, "wb") as f:
+            pickle.dump(
+                {
+                    "raw": tonp(raw),
+                    "opt_state": tonp(opt_state),
+                    "epoch": epoch,
+                    "key": np.asarray(key),
+                    "stopper": {
+                        "min_delta": stopper.min_delta,
+                        "best_score": stopper.best_score,
+                        "counter": stopper.counter,
+                        "best_state": stopper.best_state,
+                    },
+                },
+                f,
+            )
+
     stopped = False
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         key, k1, k2 = jax.random.split(key, 3)
         t0 = time.perf_counter()
         raw, opt_state, loss = step(raw, opt_state, k1)
@@ -99,6 +141,7 @@ def run_training(model, raw, ds, args, name: str):
             if stopper.is_best:
                 with open(out_dir / "model_best.pkl", "wb") as f:
                     pickle.dump(jax.tree.map(np.asarray, raw), f)
+            save_checkpoint(epoch)
 
         print(json.dumps(rec), flush=True)
         log_f.write(json.dumps(rec) + "\n")
