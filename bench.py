@@ -11,66 +11,150 @@ the reference rebuilds its hash table every MVM.  The amortized apply-only
 time (our CG iteration cost, where the plan is reused) is reported inside the
 metric line's auxiliary fields, along with the apply time for a batch of 8
 right-hand sides (the shape the BBMM engine actually runs: probes + y solve
-together, and one TPU gather serves 8 f32 columns for the price of 1).
+together, and one TPU sort pass serves 8 f32 columns for the price of ~1).
 
-All timings synchronize via a device-to-host transfer (see
-simplex_gp_tpu/utils/timing.py: ``jax.block_until_ready`` returns early on
-the tunneled TPU runtime and must not be trusted for wall-clock numbers).
+Methodology (simplex_gp_tpu/utils/timing.py): ``jax.block_until_ready``
+returns early on the tunneled TPU runtime, so timings sync via a
+device-to-host transfer; that transfer's ~5-30 ms floor is amortized by
+running 8 data-dependent repetitions inside one jitted ``lax.fori_loop``
+(each iteration perturbs the positions by carry*1e-30 so XLA cannot hoist
+the plan build out of the loop, and renormalizes the carry so values stay
+O(1)).  Device init and first transfers retry transient runtime errors with
+backoff -- the round-1 driver run died on a FAILED_PRECONDITION during the
+very first scalar transfer.
 
-Prints ONE JSON line on stdout.
+Prints ONE JSON line on stdout, even on partial failure, and exits 0
+whenever the headline metric was measured.
 """
 
 import json
+import os
+import signal
 import sys
+import time
+import traceback
 
 import numpy as np
 
 REF_SIMPLEX_MVM_S = 0.083  # BASELINE.md elevators simplex MVM wall-time
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def log(msg: str) -> None:
+    print(f"[bench +{time.monotonic() - T0:.0f}s] {msg}", file=sys.stderr, flush=True)
 
-    sys.path.insert(0, ".")
-    from simplex_gp_tpu.ops import kernels as K
-    from simplex_gp_tpu.ops.lattice import apply_plan, build_plan, filter_once
-    from simplex_gp_tpu.utils.timing import sync_floor, sync_time
 
-    n, d = 16599, 17  # elevators (BASELINE.md)
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(n, 1)).astype(np.float32))
-    v8 = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
-    dk = K.rbf_kernel(1)
+T0 = time.monotonic()
 
-    full = jax.jit(lambda vv, xx: filter_once(vv, xx, dk.coeffs, dk.variance))
-    plan = build_plan(x, dk.coeffs, dk.variance)
-    apply_only = jax.jit(lambda p, vv: apply_plan(p, vv, dk.coeffs))
+# Shared with the signal handler: if the driver's timeout SIGTERMs us
+# mid-measurement, emit whatever has been recorded so far as the one JSON
+# line (round 1 lost its perf artifact to exactly this).
+result = {
+    "metric": "elevators_lattice_mvm_time",
+    "value": None,
+    "unit": "ms",
+    "vs_baseline": None,
+    "order": 1,
+}
+_emitted = False
 
-    floor = sync_floor()
-    t_full = max(sync_time(full, v, x, reps=10) - floor, 1e-9)
-    t_apply = max(sync_time(apply_only, plan, v, reps=10) - floor, 1e-9)
-    t_apply8 = max(sync_time(apply_only, plan, v8, reps=10) - floor, 1e-9)
 
-    print(
-        json.dumps(
-            {
-                "metric": "elevators_lattice_mvm_time",
-                "value": round(t_full * 1e3, 3),
-                "unit": "ms",
-                "vs_baseline": round(REF_SIMPLEX_MVM_S / t_full, 3),
-                "apply_only_ms": round(t_apply * 1e3, 3),
-                "apply_8rhs_ms": round(t_apply8 * 1e3, 3),
-                "sync_floor_ms": round(floor * 1e3, 3),
-                "n": n,
-                "d": d,
-                "order": 1,
-                "device": str(jax.devices()[0]),
-            }
+def _emit() -> None:
+    global _emitted
+    if not _emitted:
+        _emitted = True
+        print(json.dumps(result), flush=True)
+
+
+def _on_term(signum, frame):
+    log(f"signal {signum}: emitting partial result and exiting")
+    _emit()
+    os._exit(0 if result["value"] is not None else 1)
+
+
+signal.signal(signal.SIGTERM, _on_term)
+signal.signal(signal.SIGINT, _on_term)
+
+
+def main() -> int:
+    rc = 1
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        # Persistent compile cache: chained-measurement programs take
+        # ~2 min each to compile on this runtime; cached reruns skip that.
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+        sys.path.insert(0, ".")
+        from simplex_gp_tpu.ops import kernels as K
+        from simplex_gp_tpu.ops.lattice import apply_plan, build_plan, filter_once
+        from simplex_gp_tpu.utils.timing import (
+            sync_floor,
+            sync_time_chained,
+            warmup_device,
+            with_retries,
         )
-    )
+
+        log("warming up device (retries transient init errors)...")
+        result["warmup_s"] = round(warmup_device(deadline_s=900.0), 1)
+        result["device"] = str(jax.devices()[0])
+        log(f"device ready: {result['device']} ({result['warmup_s']}s)")
+
+        n, d = 16599, 17  # elevators (BASELINE.md)
+        if os.environ.get("BENCH_SMOKE"):  # tiny-geometry logic check (CPU)
+            n, d = 512, 3
+        result["n"], result["d"] = n, d
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(n, 1)).astype(np.float32))
+        v8 = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+        dk = K.rbf_kernel(1)
+
+        def renorm(out):
+            return out / jnp.maximum(jnp.abs(out).max(), 1e-30)
+
+        # Full filter (plan build + apply) per rep: positions perturbed by the
+        # carry (1e-30 << f32 resolution of x ~ O(1)) so each iteration
+        # rebuilds the plan -- XLA cannot hoist it as loop-invariant.
+        def full_step(i, carry):
+            xi = x + 1e-30 * carry
+            return renorm(filter_once(carry, xi, dk.coeffs, dk.variance))
+
+        floor = with_retries(lambda: sync_floor(), what="sync_floor")
+        result["sync_floor_ms"] = round(floor * 1e3, 3)
+        log(f"sync floor: {floor * 1e3:.1f} ms; measuring full MVM (compile ~40s)...")
+
+        t_full = with_retries(
+            lambda: sync_time_chained(full_step, v, chain=8, reps=5, floor=floor),
+            what="full MVM timing",
+        )
+        result["value"] = round(t_full * 1e3, 3)
+        result["vs_baseline"] = round(REF_SIMPLEX_MVM_S / t_full, 3)
+        rc = 0
+        log(f"full MVM: {t_full * 1e3:.2f} ms ({result['vs_baseline']}x vs reference)")
+
+        # Auxiliary metrics (best-effort -- headline already recorded).
+        plan = build_plan(x, dk.coeffs, dk.variance)
+
+        def apply_step(i, carry):
+            return renorm(apply_plan(plan, carry, dk.coeffs))
+
+        t_apply = sync_time_chained(apply_step, v, chain=8, reps=5, floor=floor)
+        result["apply_only_ms"] = round(t_apply * 1e3, 3)
+        log(f"apply-only: {t_apply * 1e3:.2f} ms")
+
+        t_apply8 = sync_time_chained(apply_step, v8, chain=8, reps=5, floor=floor)
+        result["apply_8rhs_ms"] = round(t_apply8 * 1e3, 3)
+        log(f"apply-only (8 rhs): {t_apply8 * 1e3:.2f} ms")
+    except Exception:
+        result["error"] = traceback.format_exc(limit=3)
+        log("FAILED:\n" + result["error"])
+    _emit()
+    return rc
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -29,11 +29,16 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.filter import lattice_filter, lattice_filter_exact_grad
-from ..ops.kernels import DiscretizedKernel
+from ..ops.kernels import DiscretizedKernel, kernel_value_jnp
 from ..ops.lattice import apply_plan, build_plan
 from .cg import cg_solve
 from .lanczos import slq_logdet
-from .pivoted_cholesky import pivoted_cholesky, woodbury_solve
+from .pivoted_cholesky import (
+    make_preconditioner,
+    pivoted_cholesky_features,
+    precond_inv_sqrt,
+    precond_solve,
+)
 
 __all__ = ["BBMMConfig", "lattice_inv_quad_logdet", "lattice_nlml"]
 
@@ -47,7 +52,10 @@ class BBMMConfig:
     cg_tolerance: float = 1.0
     max_cg_iterations: int = 500
     max_lanczos_iterations: int = 100
-    precond_rank: int = 0  # 0 disables the pivoted-Cholesky preconditioner
+    # Pivoted-Cholesky preconditioner rank; 0 disables.  Default matches the
+    # reference's canonical paper config (max_preconditioner_size=100,
+    # configs/simplexgp.yml / train_simplexgp.py:36); clamped to n at use.
+    precond_rank: int = 100
     num_probes: int = 10
     # Mesh axis for data-sharded training (set inside shard_map over the data
     # axis; see parallel/shard_filter.py).  x/y/probes then hold this shard's
@@ -94,6 +102,31 @@ def lattice_inv_quad_logdet(dk, config, params, x, y, probes):
     return out
 
 
+def build_precond(dk, config, params, ref, n_global: int):
+    """Rank-k pivoted-Cholesky preconditioner of K_hat from EXACT kernel rows.
+
+    GPyTorch builds its preconditioner from exact kernel entries (LazyTensor
+    row evaluation); ours likewise uses dense O(n d) kernel rows -- NOT
+    O(M) one-hot filter MVMs -- so rank 100 costs ~100 cheap VPU rows per
+    loss eval.  Works data-sharded (rows of ``ref`` sharded over
+    ``config.axis_name``).  Returns None when disabled or rank >= n (dense
+    regime: CG converges without help and L would be singular).
+    """
+    rank = min(config.precond_rank, n_global - 1)
+    if rank <= 0:
+        return None
+    s, noise = params["outputscale"], params["noise"]
+    kfun = lambda d2: s * kernel_value_jnp(dk, d2)
+    pc = pivoted_cholesky_features(
+        ref,
+        s * jnp.ones((ref.shape[0],), jnp.float32),
+        kfun,
+        rank,
+        axis_name=config.axis_name,
+    )
+    return make_preconditioner(pc.L, noise, n_global, axis_name=config.axis_name)
+
+
 def _solve_system(dk, config, params, x, y, probes):
     ref = x * params["inv_ell"]
     if config.axis_name is not None:
@@ -107,21 +140,13 @@ def _solve_system(dk, config, params, x, y, probes):
     def mv(V):
         return s * apply_plan(plan, V, dk.coeffs, axis_name=config.axis_name) + noise * V
 
+    n_global = x.shape[0]
+    if config.axis_name is not None:
+        n_global = n_global * jax.lax.axis_size(config.axis_name)
+    P = build_precond(dk, config, params, ref, n_global)
     precond = None
-    if config.precond_rank > 0 and config.axis_name is not None:
-        raise NotImplementedError(
-            "pivoted-Cholesky preconditioning is not yet data-sharded; "
-            "set precond_rank=0 when axis_name is used"
-        )
-    if config.precond_rank > 0:
-        n = x.shape[0]
-
-        def col_fn(i):
-            e = jnp.zeros((n, 1), jnp.float32).at[i, 0].set(1.0)
-            return s * apply_plan(plan, e, dk.coeffs)[:, 0]
-
-        pc = pivoted_cholesky(s * jnp.ones((n,), jnp.float32), col_fn, config.precond_rank)
-        precond = lambda V: woodbury_solve(pc.L, noise, V)
+    if P is not None:
+        precond = lambda V: precond_solve(P, V, config.axis_name)
 
     rhs = jnp.concatenate([y[:, None], probes], axis=-1)
     res = cg_solve(
@@ -132,8 +157,19 @@ def _solve_system(dk, config, params, x, y, probes):
         precond=precond,
         axis_name=config.axis_name,
     )
-    m = min(config.max_lanczos_iterations, x.shape[0])
-    logdet = slq_logdet(mv, probes, m, axis_name=config.axis_name)
+    m = min(config.max_lanczos_iterations, n_global)
+    if P is None:
+        logdet = slq_logdet(mv, probes, m, axis_name=config.axis_name)
+    else:
+        # Preconditioned SLQ (GPyTorch-parity): log|K_hat| = log|P| +
+        # log|P^{-1/2} K_hat P^{-1/2}|.  The preconditioned operator's
+        # spectrum is clustered near 1, so the Lanczos quadrature converges
+        # in far fewer iterations for the same budget.
+        def mv_pre(V):
+            half = precond_inv_sqrt(P, V, config.axis_name)
+            return precond_inv_sqrt(P, mv(half), config.axis_name)
+
+        logdet = P.logdet + slq_logdet(mv_pre, probes, m, axis_name=config.axis_name)
     return res.x, logdet
 
 

@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from ..linalg.cg import cg_solve
-from ..linalg.lanczos import lanczos_root
-from ..linalg.mll import BBMMConfig, lattice_nlml
+from ..linalg.mll import BBMMConfig, build_precond, lattice_nlml
+from ..linalg.pivoted_cholesky import precond_solve
 from ..ops.filter import lattice_filter_rect
 from ..ops.kernels import DiscretizedKernel, matern_kernel, rbf_kernel
 from ..ops.lattice import apply_plan, build_plan
@@ -107,8 +107,17 @@ class SimplexGP:
         """Precompute alpha = Khat^{-1} y_c and the LOVE root for variances.
 
         Mirrors GPyTorch's prediction caches under fast_pred_var
-        (train_simplexgp.py:67): Khat ~= Q T Q^T via Lanczos, so
+        (train_simplexgp.py:67): a rank-m root Khat ~= Q T Q^T, inverted as
         Khat^{-1} ~= (Q U L^{-1/2}) (Q U L^{-1/2})^T.
+
+        TPU-native root construction: GPyTorch runs m SEQUENTIAL Lanczos
+        steps from one probe; here the basis comes from a randomized
+        range sketch with one power iteration (Halko-Martinsson-Tropp) --
+        Y = Khat @ Omega, Q = qr(Y), T = Q^T (Khat @ Q) -- i.e. TWO batched
+        m-column filter MVMs on the MXU instead of m dependent single-column
+        ones, and a measurably richer rank-m subspace than a single-probe
+        Krylov basis (validated against the dense lattice posterior in
+        tests/test_snelson.py).
         """
         params = self.constrained(raw)
         ref = x * params["inv_ell"]
@@ -116,14 +125,23 @@ class SimplexGP:
         mv = self._khat_mv(params, plan)
         yc = y - params["mean"]
 
+        # Pivoted-Cholesky preconditioner matters most here: eval solves run
+        # at the tight eval_cg_tolerance (1e-2 vs training's 1.0, reference
+        # train_simplexgp.py:63), where clustering the spectrum saves the
+        # most iterations.
+        P = build_precond(self.dk, self.bbmm, params, ref, x.shape[0])
+        precond = None if P is None else (lambda V: precond_solve(P, V))
         alpha = cg_solve(
             mv, yc[:, None], tol=self.eval_cg_tolerance,
-            max_iters=self.bbmm.max_cg_iterations,
+            max_iters=self.bbmm.max_cg_iterations, precond=precond,
         ).x[:, 0]
 
-        m = min(self.bbmm.max_lanczos_iterations, x.shape[0])
-        z = jax.random.normal(key, (x.shape[0], 1), jnp.float32)
-        Q, T = lanczos_root(mv, z, m)
+        n = x.shape[0]
+        m = min(root_rank or self.bbmm.max_lanczos_iterations, n)
+        omega = jax.random.normal(key, (n, m), jnp.float32)
+        Q, _ = jnp.linalg.qr(mv(omega))  # (n, m) orthonormal range sketch
+        T = Q.T @ mv(Q)
+        T = 0.5 * (T + T.T)
         evals, evecs = jnp.linalg.eigh(T)
         evals = jnp.maximum(evals, 1e-8)
         root_inv = Q @ (evecs / jnp.sqrt(evals)[None, :])  # (n, m)

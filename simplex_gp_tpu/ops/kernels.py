@@ -16,11 +16,12 @@ from __future__ import annotations
 import dataclasses
 import functools
 
+import jax.numpy as jnp
 import numpy as np
 
 from .coeffs import get_coeffs, tap_variance
 
-__all__ = ["DiscretizedKernel", "rbf_kernel", "matern_kernel"]
+__all__ = ["DiscretizedKernel", "rbf_kernel", "matern_kernel", "kernel_value_jnp"]
 
 
 def _rbf(d2: np.ndarray) -> np.ndarray:
@@ -86,9 +87,10 @@ class DiscretizedKernel:
     dk0: float
     variance: float
     deriv_variance: float
+    nu: float = 0.0  # Matern smoothness; 0.0 for RBF
 
     @staticmethod
-    def build(name: str, kernel_fn, deriv_fn, order: int) -> "DiscretizedKernel":
+    def build(name: str, kernel_fn, deriv_fn, order: int, nu: float = 0.0) -> "DiscretizedKernel":
         coeffs = get_coeffs(lambda tau: kernel_fn(tau**2), order)
         deriv_coeffs = get_coeffs(lambda tau: deriv_fn(tau**2), order)
         dk0 = float(deriv_fn(np.zeros(1))[0])
@@ -100,6 +102,7 @@ class DiscretizedKernel:
             dk0=dk0,
             variance=tap_variance(coeffs),
             deriv_variance=tap_variance(deriv_coeffs),
+            nu=nu,
         )
 
 
@@ -117,4 +120,27 @@ def matern_kernel(nu: float = 1.5, order: int = 3) -> DiscretizedKernel:
         lambda d2: _matern(d2, nu),
         lambda d2: _matern_deriv(d2, nu),
         order,
+        nu=nu,
     )
+
+
+def kernel_value_jnp(dk: DiscretizedKernel, d2):
+    """Exact (undiscretized) kernel value k(d2) as traced jnp math.
+
+    The same stationary kernels as the reference's ``rbf``/``matern``
+    (bilateral_kernel.py:202-245), used for exact kernel rows (pivoted-
+    Cholesky preconditioner columns) and dense baselines.
+    """
+    if dk.name == "rbf":
+        return jnp.exp(-d2)
+    if dk.name.startswith("matern"):
+        nu = dk.nu
+        d = jnp.sqrt(jnp.maximum(d2, 1e-30))
+        e = jnp.exp(-jnp.sqrt(2.0 * nu) * d)
+        if nu == 0.5:
+            return e
+        if nu == 1.5:
+            return (1.0 + jnp.sqrt(3.0) * d) * e
+        if nu == 2.5:
+            return (1.0 + jnp.sqrt(5.0) * d + (5.0 / 3.0) * d2) * e
+    raise ValueError(f"unknown kernel {dk.name!r}")

@@ -417,15 +417,24 @@ def apply_plan_join(
     assert len(taps) == 2 * order + 1
 
     v = v.astype(jnp.float32)
-    c = v.shape[-1]
+    c_in = v.shape[-1]
 
     # Splat: scatter-add barycentric-weighted values into the lattice table.
-    contrib = (v[:, None, :] * plan.weights[:, :, None]).reshape(n * dp1, c)
+    contrib = (v[:, None, :] * plan.weights[:, :, None]).reshape(n * dp1, c_in)
     table = jax.ops.segment_sum(contrib, plan.seg_ids.reshape(-1), num_segments=M)
     if axis_name is not None:
-        table = jax.lax.psum(table, axis_name)
+        # Combine shard-partial tables AND column-split the blur (see
+        # apply_plan_chain): each device receives + blurs c/P columns.
+        psize = jax.lax.axis_size(axis_name)
+        c_pad = -(-c_in // psize) * psize
+        if c_pad != c_in:
+            table = jnp.concatenate(
+                [table, jnp.zeros((M, c_pad - c_in), jnp.float32)], axis=1
+            )
+        table = jax.lax.psum_scatter(table, axis_name, scatter_dimension=1, tiled=True)
 
     # Blur: d+1 sequential banded passes along the lattice axes.
+    c = table.shape[1]
     tap_list = [t for t in range(-order, order + 1) if t != 0]
     for j in range(dp1):
         padded = jnp.concatenate([table, jnp.zeros((1, c), table.dtype)], axis=0)
@@ -433,6 +442,9 @@ def apply_plan_join(
         for ti, t in enumerate(tap_list):
             acc = acc + taps[t + order] * padded[plan.neighbors[j, :, ti]]
         table = acc
+
+    if axis_name is not None:
+        table = jax.lax.all_gather(table, axis_name, axis=1, tiled=True)[:, :c_in]
 
     # Slice: replay the splat weights against the blurred table.
     gathered = table[plan.seg_ids]  # (n, d+1, c)
@@ -748,10 +760,16 @@ def apply_plan_chain(
     With ``axis_name`` (inside shard_map over the data axis), ``plan`` is a
     per-shard plan from parallel/shard_filter.py: v holds this shard's rows,
     dest/cnt route the LOCAL contributions into the GLOBAL table layout, and
-    the per-shard partial tables combine in ONE psum over ICI; the blur runs
-    replicated (O(M), not O(n)) and slice reads back only local rows.
+    the per-shard partial tables combine over ICI.  The blur -- the O(M·c)
+    dominant cost -- is COLUMN-SPLIT across the mesh: the partial tables
+    combine in a psum_scatter over the value columns (each device receives
+    the global table for c/P of the columns), every device runs the shift
+    stencils + transition sorts on only its column block, and one all_gather
+    reassembles the blurred table before the (local-row) slice.  Per-device
+    blur work is O(M·c/P) -- it SCALES with the mesh, unlike a replicated
+    blur -- at the same communication volume as a plain psum.
 
-    NOTE: every transition sort carries all value columns as payloads; for
+    NOTE: every transition sort carries its value columns as payloads; for
     very wide v (> ~32 columns; e.g. the fused derivative-coefficient
     backward filter) use the join plan, whose gather cost is
     column-count-independent.
@@ -764,25 +782,40 @@ def apply_plan_chain(
     assert len(taps) == 2 * order + 1
 
     v = v.astype(jnp.float32)
-    c = v.shape[-1]
-    cols = lambda t: tuple(t[:, k] for k in range(c))
+    c_in = v.shape[-1]
+    cols = lambda t: tuple(t[:, k] for k in range(t.shape[1]))
 
     # Splat: route (this shard's) contributions into global-table order,
     # segment-sum by cumulative sum + per-row boundary difference.
-    contrib = (v[:, None, :] * plan.weights[:, :, None]).reshape(n * dp1, c)
+    contrib = (v[:, None, :] * plan.weights[:, :, None]).reshape(n * dp1, c_in)
     sc = jax.lax.sort((plan.dest,) + cols(contrib), num_keys=1)[1:]
     csum = jnp.cumsum(jnp.stack(sc, axis=-1), axis=0)
-    L = jnp.concatenate([jnp.zeros((1, c), jnp.float32), csum], axis=0)[plan.cnt]
-    table = L - jnp.concatenate([jnp.zeros((1, c), jnp.float32), L[:-1]], axis=0)
+    L = jnp.concatenate([jnp.zeros((1, c_in), jnp.float32), csum], axis=0)[plan.cnt]
+    table = L - jnp.concatenate([jnp.zeros((1, c_in), jnp.float32), L[:-1]], axis=0)
     if axis_name is not None:
-        table = jax.lax.psum(table, axis_name)
+        psize = jax.lax.axis_size(axis_name)
+        c_pad = -(-c_in // psize) * psize
+        if c_pad != c_in:
+            table = jnp.concatenate(
+                [table, jnp.zeros((M, c_pad - c_in), jnp.float32)], axis=1
+            )
+        # Combine shard-partial tables AND deal each device its column block.
+        table = jax.lax.psum_scatter(
+            table, axis_name, scatter_dimension=1, tiled=True
+        )  # (M, c_pad / P)
 
-    # Blur: shift stencil per axis, one transition sort between axes.
+    # Blur: shift stencil per axis, one transition sort between axes
+    # (column-local, so each device blurs only its block when sharded).
     for j in range(dp1):
         table = _chain_stencil(table, plan.tapw[j], taps[order], order)
         if j < d:
             o = jax.lax.sort((plan.k1[j], plan.k2[j]) + cols(table), num_keys=2)
             table = jnp.stack(o[2:], axis=-1)
+
+    if axis_name is not None:
+        table = jax.lax.all_gather(
+            table, axis_name, axis=1, tiled=True
+        )[:, :c_in]  # (M, c_in)
 
     # Slice: replay the splat weights against the final-order table.
     gathered = table[plan.slice_idx]  # (n, d+1, c)

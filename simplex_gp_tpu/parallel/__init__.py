@@ -1,3 +1,9 @@
+from .distributed import (  # noqa: F401
+    global_mesh,
+    host_local_batch,
+    initialize_distributed,
+    is_distributed,
+)
 from .mesh import (  # noqa: F401
     data_parallel_loss_fn,
     gspmd_loss_fn,

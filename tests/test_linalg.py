@@ -98,3 +98,110 @@ def test_woodbury_solve_and_logdet():
     np.testing.assert_allclose(
         float(woodbury_logdet(L, noise, n)), np.linalg.slogdet(P)[1], rtol=1e-4
     )
+
+
+def test_pivoted_cholesky_features_matches_col_fn():
+    """The exact-kernel-row factorization == the generic column-oracle one."""
+    from simplex_gp_tpu.linalg import pivoted_cholesky_features
+
+    n, d, k = 60, 3, 12
+    rng = np.random.default_rng(10)
+    ref = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    d2 = ((ref[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+    K = jnp.exp(-d2)
+    pc_cols = pivoted_cholesky(jnp.diag(K), lambda i: K[:, i], rank=k)
+    pc_feat = pivoted_cholesky_features(
+        ref, jnp.ones((n,), jnp.float32), lambda t: jnp.exp(-t), rank=k
+    )
+    np.testing.assert_allclose(
+        np.asarray(pc_feat.L), np.asarray(pc_cols.L), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_preconditioner_solve_inv_sqrt_logdet():
+    """Eigen-form preconditioner: P^{-1}, P^{-1/2}, log|P| vs dense algebra."""
+    from simplex_gp_tpu.linalg import make_preconditioner, precond_inv_sqrt, precond_solve
+
+    n, k = 48, 7
+    rng = np.random.default_rng(11)
+    L = jnp.asarray(rng.normal(size=(n, k)), jnp.float32)
+    noise = jnp.float32(0.3)
+    P = make_preconditioner(L, noise, n_global=n)
+    Pd = np.asarray(L) @ np.asarray(L).T + 0.3 * np.eye(n)
+    V = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(precond_solve(P, V)), np.linalg.solve(Pd, np.asarray(V)),
+        rtol=1e-3, atol=1e-3,
+    )
+    # P^{-1/2} applied twice == P^{-1}.
+    np.testing.assert_allclose(
+        np.asarray(precond_inv_sqrt(P, precond_inv_sqrt(P, V))),
+        np.linalg.solve(Pd, np.asarray(V)),
+        rtol=1e-3, atol=1e-3,
+    )
+    np.testing.assert_allclose(float(P.logdet), np.linalg.slogdet(Pd)[1], rtol=1e-4)
+
+
+def test_lattice_precond_cuts_cg_iterations():
+    """VERDICT item 3: on an ill-conditioned lattice system (tiny noise), CG
+    with the rank-k exact-kernel pivoted-Cholesky preconditioner converges in
+    strictly fewer iterations than plain CG."""
+    from simplex_gp_tpu.linalg import BBMMConfig, build_precond, precond_solve
+    from simplex_gp_tpu.ops.kernels import rbf_kernel
+    from simplex_gp_tpu.ops.lattice import apply_plan, build_plan
+
+    # Noise at the reference's min_noise floor (0.1, configs/simplexgp.yml):
+    # the exact kernel and the order-1 lattice operator differ by ~0.3 rel
+    # Frobenius, so preconditioning gains only materialize when the noise is
+    # not far below that mismatch (measured: 57 -> 30 iters at noise 0.1).
+    n, d = 400, 2
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    dk = rbf_kernel(1)
+    plan = build_plan(x, dk.coeffs, dk.variance)
+    noise = jnp.float32(0.1)
+    mv = lambda V: apply_plan(plan, V, dk.coeffs) + noise * V
+    b = jnp.asarray(rng.normal(size=(n, 1)), jnp.float32)
+
+    cfg = BBMMConfig(precond_rank=100)
+    params = {"outputscale": jnp.float32(1.0), "noise": noise, "inv_ell": jnp.ones((d,))}
+    P = build_precond(dk, cfg, params, x, n)
+
+    plain = cg_solve(mv, b, tol=1e-3, max_iters=400)
+    pre = cg_solve(mv, b, tol=1e-3, max_iters=400, precond=lambda V: precond_solve(P, V))
+    assert int(pre.iterations) < int(plain.iterations), (
+        int(pre.iterations), int(plain.iterations))
+    # Both converged to the tolerance.
+    assert float(pre.residual_norm.max()) < 1e-3
+
+
+def test_preconditioned_slq_logdet_beats_plain():
+    """log|K_hat| via log|P| + SLQ(P^{-1/2} K_hat P^{-1/2}) is at least as
+    accurate as plain SLQ for the same Lanczos budget on an ill-conditioned
+    dense SPD system (GPyTorch's preconditioned-logdet construction)."""
+    from simplex_gp_tpu.linalg import (
+        make_preconditioner,
+        pivoted_cholesky,
+        precond_inv_sqrt,
+    )
+
+    n, p, k = 120, 8, 30
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(n, 2))
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    noise = 1e-3
+    Kd = np.exp(-d2)
+    A = jnp.asarray(Kd + noise * np.eye(n), jnp.float32)
+    true = float(np.linalg.slogdet(Kd + noise * np.eye(n))[1])
+
+    z = jnp.asarray(rng.choice([-1.0, 1.0], size=(n, p)), jnp.float32)
+    m = 15  # small budget: plain SLQ struggles at cond ~ 1/noise
+    plain = float(slq_logdet(lambda v: A @ v, z, num_iters=m))
+
+    pc = pivoted_cholesky(jnp.asarray(np.diag(Kd), jnp.float32),
+                          lambda i: jnp.asarray(Kd, jnp.float32)[:, i], rank=k)
+    P = make_preconditioner(pc.L, jnp.float32(noise), n_global=n)
+    mv_pre = lambda v: precond_inv_sqrt(P, A @ precond_inv_sqrt(P, v))
+    pre = float(P.logdet) + float(slq_logdet(mv_pre, z, num_iters=m))
+    assert abs(pre - true) <= abs(plain - true) + 1e-3, (pre, plain, true)
+    assert abs(pre - true) / abs(true) < 0.05, (pre, true)
