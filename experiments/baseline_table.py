@@ -61,13 +61,23 @@ def main():
     import jax.numpy as jnp
 
     from simplex_gp_tpu.ops import kernels as K
-    from simplex_gp_tpu.ops.lattice import apply_plan, build_plan, filter_once
-    from simplex_gp_tpu.utils.timing import sync_floor, sync_time
+    from simplex_gp_tpu.ops.lattice import (
+        apply_plan,
+        build_plan,
+        count_lattice_points,
+        filter_once,
+    )
+    from simplex_gp_tpu.utils.timing import sync_floor, sync_time, warmup_device
 
+    warmup_device()
     dk = K.rbf_kernel(args.order)
-    full = jax.jit(lambda vv, xx: filter_once(vv, xx, dk.coeffs, dk.variance))
     apply_only = jax.jit(lambda p, vv: apply_plan(p, vv, dk.coeffs))
     floor = sync_floor()
+
+    # Above this worst-case table size, measure the true occupancy once and
+    # trim the plan capacity (houseelectric's M = 24.6M rows is ~4x the
+    # occupied count; every per-row array and sort shrinks accordingly).
+    TRIM_ABOVE = 4 * 1024 * 1024
 
     for name in args.datasets:
         n, d, ref_exact, ref_simplex = SHAPES[name]
@@ -82,10 +92,18 @@ def main():
         x = jnp.asarray(x)
         v = jnp.asarray(np.random.default_rng(1).normal(size=(n, 1)).astype(np.float32))
         try:
-            plan = build_plan(x, dk.coeffs, dk.variance)
+            capacity = None
+            if n * (d + 1) > TRIM_ABOVE:
+                occupied = int(count_lattice_points(x, dk.variance, dk.coeffs))
+                capacity = min(-(-int(occupied * 1.05) // 8192) * 8192, n * (d + 1))
+            full = jax.jit(
+                lambda vv, xx: filter_once(vv, xx, dk.coeffs, dk.variance, capacity)
+            )
+            plan = build_plan(x, dk.coeffs, dk.variance, capacity=capacity)
+            n_lat = int(plan.n_lattice)
+            assert capacity is None or n_lat <= capacity, (n_lat, capacity)
             t_full = max(sync_time(full, v, x, reps=args.reps) - floor, 1e-9)
             t_apply = max(sync_time(apply_only, plan, v, reps=args.reps) - floor, 1e-9)
-            n_lat = int(plan.n_lattice)
         except Exception as e:  # noqa: BLE001 -- report OOM/compile failures per-row
             print(json.dumps({"dataset": name, "n": n, "d": d, "error": repr(e)[:200]}), flush=True)
             continue
@@ -99,6 +117,7 @@ def main():
                     "full_ms": round(t_full * 1e3, 3),
                     "apply_ms": round(t_apply * 1e3, 3),
                     "n_lattice": n_lat,
+                    "capacity": capacity,
                     "ref_simplex_ms": ref_simplex * 1e3,
                     "ref_exact_ms": ref_exact * 1e3,
                     "vs_ref_simplex_full": round(ref_simplex / t_full, 3),

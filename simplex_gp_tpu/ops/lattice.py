@@ -51,6 +51,7 @@ __all__ = [
     "apply_plan_join",
     "build_plan_chain",
     "apply_plan_chain",
+    "count_lattice_points",
     "filter_once",
     "SLICE_NORM",
 ]
@@ -64,6 +65,11 @@ _KEY_SENTINEL = np.int32(2**31 - 1)
 # to per-axis joins to bound peak HBM (3 int32 arrays of this length live
 # inside the sort).  64M rows ~= 0.8 GB per operand.
 _FUSED_JOIN_MAX_ROWS = 64 * 1024 * 1024
+
+# Same idea for the chain-plan mid-axes build: above this many (axis, row)
+# entries the batched 4-operand transition sort is chunked one axis at a
+# time (lax.map) to bound peak HBM.
+_FUSED_BUILD_MAX_ROWS = 32 * 1024 * 1024
 
 
 def SLICE_NORM(d: int) -> float:
@@ -310,6 +316,46 @@ def _point_hashes(x: jax.Array, E: jax.Array, a: np.ndarray):
     return h1, h2, weights
 
 
+# Above this many rows, per-point geometry (whose transients are O(n d^2)
+# floats -- ~5 GB at houseelectric scale) is computed in fixed-size row
+# blocks under lax.map.
+_GEOMETRY_BLOCK_ROWS = 262_144
+
+
+def _geometry_hs(x: jax.Array, E: jax.Array, a: np.ndarray):
+    """(h1, h2, s, weights) for the chain builder, block-chunked for large n.
+
+    Only the O(n d) reductions of the geometry survive (hash pair +
+    coordinate sum per vertex, barycentric weights per point); the O(n d^2)
+    intermediates (elevation products, rank comparisons, vertex keys) live
+    one block at a time.
+    """
+    n, d = x.shape
+    dp1 = d + 1
+    B = _GEOMETRY_BLOCK_ROWS
+
+    def block(xb):
+        nb = xb.shape[0]
+        keys, w = lattice_simplex(xb.astype(jnp.float32), E)
+        flat = keys.reshape(nb * dp1, d)
+        h1, h2 = _hash_pair(flat, a)
+        return h1, h2, flat.sum(-1), w
+
+    if n <= B:
+        return block(x)
+
+    n_main = (n // B) * B
+    h1m, h2m, sm, wm = jax.lax.map(block, x[:n_main].reshape(n_main // B, B, d))
+    parts = [(h1m.reshape(-1), h2m.reshape(-1), sm.reshape(-1), wm.reshape(n_main, dp1))]
+    if n_main < n:
+        parts.append(block(x[n_main:]))
+    h1 = jnp.concatenate([p[0] for p in parts])
+    h2 = jnp.concatenate([p[1] for p in parts])
+    s = jnp.concatenate([p[2] for p in parts])
+    weights = jnp.concatenate([p[3] for p in parts], axis=0)
+    return h1, h2, s, weights
+
+
 def _plan_tables(h1: jax.Array, h2: jax.Array, d: int, order: int, a: np.ndarray):
     """Dedup + neighbor tables from the full set of vertex hashes.
 
@@ -452,15 +498,21 @@ def apply_plan_join(
     return out * SLICE_NORM(d)
 
 
-@functools.partial(jax.jit, static_argnames=("coeffs", "blur_variance"))
-def filter_once(src: jax.Array, ref: jax.Array, coeffs: tuple, blur_variance: float) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("coeffs", "blur_variance", "capacity"))
+def filter_once(
+    src: jax.Array,
+    ref: jax.Array,
+    coeffs: tuple,
+    blur_variance: float,
+    capacity: Optional[int] = None,
+) -> jax.Array:
     """One-shot filter(src, ref, coeffs): build the plan and apply it.
 
     Mirrors the reference entry point ``filter`` (cpp/lattice.cpp:6-16) for
     callers whose positions change every call (e.g. the rectangular
-    cross-covariance MVM).
+    cross-covariance MVM).  ``capacity`` as in :func:`build_plan_chain`.
     """
-    plan = build_plan_chain(ref, coeffs, blur_variance)
+    plan = build_plan_chain(ref, coeffs, blur_variance, capacity=capacity)
     return apply_plan_chain(plan, src, coeffs)
 
 
@@ -603,7 +655,8 @@ def _axis_tap_weights(c1s, c2ps, step: int, order: int, taps):
     return jnp.stack(rows, axis=-2)  # (..., r, M)
 
 
-def _chain_core(h1: jax.Array, h2: jax.Array, s: jax.Array, d: int, order: int, cs):
+def _chain_core(h1: jax.Array, h2: jax.Array, s: jax.Array, d: int, order: int, cs,
+                capacity: Optional[int] = None):
     """Global chain tables from the full set of vertex (hash-pair, coord-sum).
 
     Pure function of the hash/coordinate-sum arrays: the distributed builder
@@ -612,6 +665,13 @@ def _chain_core(h1: jax.Array, h2: jax.Array, s: jax.Array, d: int, order: int, 
 
     Returns (dest, seg_orig, cnt, k1, k2, tapw, rank_d, n_lattice); shapes as
     in :class:`ChainPlan`, with table capacity M = len(h1).
+
+    ``capacity`` statically trims the table to fewer rows than the worst-case
+    M = n*(d+1): real datasets occupy only ~25-40% of the bound (vertex
+    sharing), and every per-row array (cnt/k1/k2/tapw) plus every build and
+    apply sort shrinks proportionally.  The caller MUST ensure
+    capacity >= n_lattice (measure once with count_lattice_points); the
+    returned n_lattice makes violations detectable after the fact.
     """
     M = h1.shape[0]
     iota = jnp.arange(M, dtype=jnp.int32)
@@ -632,6 +692,8 @@ def _chain_core(h1: jax.Array, h2: jax.Array, s: jax.Array, d: int, order: int, 
     )
     seg_sorted = (jnp.cumsum(newgrp) - 1).astype(jnp.int32)
     n_lattice = seg_sorted[-1] + 1
+    Mc = M if capacity is None else min(capacity, M)
+    iota_c = iota[:Mc]
 
     # Per-contribution destination (and compact segment id) in input order.
     _, dest, seg_orig = jax.lax.sort((I, iota, seg_sorted), num_keys=1)
@@ -643,13 +705,14 @@ def _chain_core(h1: jax.Array, h2: jax.Array, s: jax.Array, d: int, order: int, 
         (jnp.where(lastm, seg_sorted, M + iota), jnp.where(lastm, iota + 1, 0)),
         num_keys=1,
     )[1]
-    cnt = jax.lax.cummax(cnt0)
+    cnt = jax.lax.cummax(cnt0)[:Mc]
 
     # Unique-point hashes in table (axis-0 chain) order, sentinel-padded.
     _, u_h1, u_h2, u_k0 = jax.lax.sort(
         (jnp.where(newgrp, seg_sorted, M + iota), H1, H2, K0), num_keys=1
     )
-    live = iota < n_lattice
+    u_h1, u_h2, u_k0 = u_h1[:Mc], u_h2[:Mc], u_k0[:Mc]
+    live = iota_c < n_lattice
     u_h1 = jnp.where(live, u_h1, _PAD_H1)
     u_h2 = jnp.where(live, u_h2, _PAD_H2)
     u_s = jnp.where(live, (u_k0 & _S_MASK) - _S_BIAS, 0)
@@ -660,11 +723,11 @@ def _chain_core(h1: jax.Array, h2: jax.Array, s: jax.Array, d: int, order: int, 
 
     # ---- final axis: direct sort + rank (exact final positions) ---------
     c1d, c2d = _chain_words(u_h1, u_h2, u_s, np.array([d]), d)
-    C1d, C2pd, perm_d = jax.lax.sort((c1d[0], _pack(c2d[0], u_s), iota), num_keys=2)
-    rank_d = jax.lax.sort((perm_d, iota), num_keys=1)[1]
+    C1d, C2pd, perm_d = jax.lax.sort((c1d[0], _pack(c2d[0], u_s), iota_c), num_keys=2)
+    rank_d = jax.lax.sort((perm_d, iota_c), num_keys=1)[1]
     md = _axis_tap_weights(C1d, C2pd, d, order, cs)
 
-    if d >= 2:
+    if d >= 2 and (d - 1) * Mc <= _FUSED_BUILD_MAX_ROWS:
         # ---- axes 1..d-1, ONE batched sort ------------------------------
         # Keys: axis-j chain words.  Payloads: axis-(j+1) chain words (for
         # j < d-1) or rank_d (for j = d-1).  The sorted payloads ARE the
@@ -676,7 +739,7 @@ def _chain_core(h1: jax.Array, h2: jax.Array, s: jax.Array, d: int, order: int, 
         c2pm = _pack(c2m, u_s[None, :])
         c1n, c2n = _chain_words(u_h1, u_h2, u_s, np.arange(2, d + 1), d)
         c2pn = _pack(c2n, u_s[None, :])
-        zrow = jnp.zeros((1, M), jnp.int32)
+        zrow = jnp.zeros((1, Mc), jnp.int32)
         p1 = jnp.concatenate([c1n[:-1], rank_d[None]], axis=0)
         p2 = jnp.concatenate([c2pn[:-1], zrow], axis=0)
         K1s, K2s, T1, T2 = jax.lax.sort((c1m, c2pm, p1, p2), dimension=1, num_keys=2)
@@ -684,22 +747,81 @@ def _chain_core(h1: jax.Array, h2: jax.Array, s: jax.Array, d: int, order: int, 
         k1 = jnp.concatenate([c1m[:1], T1], axis=0)
         k2 = jnp.concatenate([c2pm[:1], T2], axis=0)
         tapw = jnp.concatenate([m0[None], mmid, md[None]], axis=0)
+    elif d >= 2:
+        # ---- axes 1..d-1, chunked (houseelectric-scale M) ----------------
+        # Identical math to the fused branch, one axis per lax.map step: the
+        # fused sort materializes 4 operands of (d-1, M) twice (~8 GB at
+        # M=24.6M, d=11), which OOMs a 16 GB chip; per-axis peak is ~6 (M,)
+        # transients.  Plan build runs once per loss eval, so the extra
+        # sequential passes cost latency only.
+        off, so = _axis_dir(d)
+        a64 = _hash_vectors(d).astype(np.int64)
+        wrap = lambda v: ((v & 0xFFFFFFFF).astype(np.uint32)).view(np.int32)
+        oh1_all = jnp.asarray(wrap((off * a64[0]).sum(-1)))  # (d+1,)
+        oh2_all = jnp.asarray(wrap((off * a64[1]).sum(-1)))
+        mult_all = jnp.asarray(so.astype(np.int32))
+
+        def one_axis(j):
+            c1j = mult_all[j] * u_h1 - u_s * oh1_all[j]
+            c2j = _pack(mult_all[j] * u_h2 - u_s * oh2_all[j], u_s)
+            jn = j + 1
+            p1j = jnp.where(
+                jn == d, rank_d, mult_all[jn] * u_h1 - u_s * oh1_all[jn]
+            )
+            p2j = jnp.where(
+                jn == d,
+                jnp.zeros_like(u_s),
+                _pack(mult_all[jn] * u_h2 - u_s * oh2_all[jn], u_s),
+            )
+            K1s, K2s, T1j, T2j = jax.lax.sort((c1j, c2j, p1j, p2j), num_keys=2)
+            return T1j, T2j, _axis_tap_weights(K1s, K2s, 1, order, cs)
+
+        T1, T2, mmid = jax.lax.map(one_axis, jnp.arange(1, d, dtype=jnp.int32))
+        c1f, c2f = _chain_words(u_h1, u_h2, u_s, np.array([1]), d)
+        k1 = jnp.concatenate([c1f, T1], axis=0)
+        k2 = jnp.concatenate([_pack(c2f[0], u_s)[None], T2], axis=0)
+        tapw = jnp.concatenate([m0[None], mmid, md[None]], axis=0)
     else:
         k1 = rank_d[None]
-        k2 = jnp.zeros((1, M), jnp.int32)
+        k2 = jnp.zeros((1, Mc), jnp.int32)
         tapw = jnp.stack([m0, md], axis=0)
 
     return dest, seg_orig, cnt, k1, k2, tapw, rank_d, n_lattice
 
 
 @functools.partial(jax.jit, static_argnames=("coeffs", "blur_variance"))
-def build_plan_chain(x: jax.Array, coeffs: tuple, blur_variance: float) -> ChainPlan:
+def count_lattice_points(x: jax.Array, blur_variance: float, coeffs: tuple = (0.5, 1.0, 0.5)) -> jax.Array:
+    """Number of occupied lattice points for positions ``x`` (one cheap sort).
+
+    Used to pick a trimmed static ``capacity`` for :func:`build_plan_chain`
+    at very large n, where the worst-case bound M = n*(d+1) wastes 3-4x
+    memory and sort time (measured occupancy: houseelectric-scale inputs
+    ~25-40%).
+    """
+    _, d = x.shape
+    E = jnp.asarray(build_rotation(d, blur_variance))
+    a = _hash_vectors(d)
+    h1, h2, _, _ = _geometry_hs(x, E, a)
+    h1s, h2s = jax.lax.sort((h1, h2), num_keys=2)
+    is_new = ((h1s != jnp.roll(h1s, 1)) | (h2s != jnp.roll(h2s, 1))).at[0].set(True)
+    return is_new.sum()
+
+
+@functools.partial(jax.jit, static_argnames=("coeffs", "blur_variance", "capacity"))
+def build_plan_chain(
+    x: jax.Array, coeffs: tuple, blur_variance: float, capacity: Optional[int] = None
+) -> ChainPlan:
     """Build the sort-chain filter plan for positions ``x`` (n, d).
 
     One fused dedup+axis-0 sort over the n*(d+1) simplex vertices, one
     batched sort over axes 1..d-1 (carrying the NEXT axis's chain keys as
     payloads, so the apply-time transition keys come out directly), and two
     small sorts for the final axis.  No scatter, no neighbor join.
+
+    ``capacity`` (static) trims the per-lattice-row tables below the
+    worst-case n*(d+1); callers must guarantee capacity >= the occupied
+    count (see :func:`count_lattice_points`) and can verify via the
+    returned plan's ``n_lattice``.
     """
     cs = np.asarray(coeffs, np.float64)
     if not np.allclose(cs, cs[::-1]):
@@ -710,13 +832,10 @@ def build_plan_chain(x: jax.Array, coeffs: tuple, blur_variance: float) -> Chain
     E = jnp.asarray(build_rotation(d, blur_variance))
     a = _hash_vectors(d)
 
-    keys, weights = lattice_simplex(x.astype(jnp.float32), E)
-    flat = keys.reshape(n * dp1, d)
-    h1, h2 = _hash_pair(flat, a)
-    s = flat.sum(-1)
+    h1, h2, s, weights = _geometry_hs(x, E, a)
 
     dest, seg_orig, cnt, k1, k2, tapw, rank_d, n_lattice = _chain_core(
-        h1, h2, s, d, order, cs
+        h1, h2, s, d, order, cs, capacity=capacity
     )
     slice_idx = rank_d[seg_orig].reshape(n, dp1)
     return ChainPlan(
@@ -822,9 +941,11 @@ def apply_plan_chain(
     return (gathered * plan.weights[:, :, None]).sum(axis=1) * SLICE_NORM(d)
 
 
-def build_plan(x: jax.Array, coeffs: tuple, blur_variance: float) -> ChainPlan:
+def build_plan(
+    x: jax.Array, coeffs: tuple, blur_variance: float, capacity: Optional[int] = None
+) -> ChainPlan:
     """Default plan builder: the sort-chain plan (see build_plan_chain)."""
-    return build_plan_chain(x, coeffs, blur_variance)
+    return build_plan_chain(x, coeffs, blur_variance, capacity=capacity)
 
 
 def apply_plan(plan, v: jax.Array, coeffs: tuple, axis_name: Optional[str] = None):

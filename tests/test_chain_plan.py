@@ -112,3 +112,31 @@ def test_chain_grad_matches_join_grad():
     gx_j, gv_j = jax.grad(loss_join, argnums=(0, 1))(x, v)
     np.testing.assert_allclose(np.asarray(gv_c), np.asarray(gv_j), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_j), rtol=1e-3, atol=1e-4)
+
+
+def test_chunked_build_matches_fused(monkeypatch):
+    """The houseelectric-scale chunked mid-axes plan build (lax.map, one axis
+    per step) must produce an identical plan to the fused batched sort."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import simplex_gp_tpu.ops.lattice as lat
+
+    dk_coeffs = (0.5, 1.0, 0.5)
+    var = 0.125
+    rng = np.random.default_rng(33)
+    x = jnp.asarray(rng.normal(size=(300, 5)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(300, 2)), jnp.float32)
+
+    fused = lat.build_plan_chain(x, dk_coeffs, var)
+    monkeypatch.setattr(lat, "_FUSED_BUILD_MAX_ROWS", 0)
+    lat.build_plan_chain.clear_cache()
+    try:
+        chunked = lat.build_plan_chain(x, dk_coeffs, var)
+        for f, c in zip(fused, chunked):
+            np.testing.assert_array_equal(np.asarray(f), np.asarray(c))
+        out_f = lat.apply_plan_chain(fused, v, dk_coeffs)
+        out_c = lat.apply_plan_chain(chunked, v, dk_coeffs)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_c), rtol=1e-6)
+    finally:
+        lat.build_plan_chain.clear_cache()
