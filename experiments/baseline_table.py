@@ -76,8 +76,10 @@ def main():
 
     # Above this worst-case table size, measure the true occupancy once and
     # trim the plan capacity (houseelectric's M = 24.6M rows is ~4x the
-    # occupied count; every per-row array and sort shrinks accordingly).
-    TRIM_ABOVE = 4 * 1024 * 1024
+    # occupied count, precipitation's 2.5M is ~4000x; every per-row array
+    # and sort shrinks accordingly).  Trimming is skipped when occupancy is
+    # near the bound (e.g. keggdirected at 99.97%).
+    TRIM_ABOVE = 1024 * 1024
 
     for name in args.datasets:
         n, d, ref_exact, ref_simplex = SHAPES[name]
@@ -95,7 +97,9 @@ def main():
             capacity = None
             if n * (d + 1) > TRIM_ABOVE:
                 occupied = int(count_lattice_points(x, dk.variance, dk.coeffs))
-                capacity = min(-(-int(occupied * 1.05) // 8192) * 8192, n * (d + 1))
+                cap = -(-int(occupied * 1.05) // 8192) * 8192
+                if cap < 0.9 * n * (d + 1):
+                    capacity = cap
             full = jax.jit(
                 lambda vv, xx: filter_once(vv, xx, dk.coeffs, dk.variance, capacity)
             )

