@@ -28,7 +28,7 @@ from ..linalg.mll import BBMMConfig, build_precond, lattice_nlml
 from ..linalg.pivoted_cholesky import precond_solve
 from ..ops.filter import lattice_filter_rect
 from ..ops.kernels import DiscretizedKernel, matern_kernel, rbf_kernel
-from ..ops.lattice import apply_plan, build_plan
+from ..ops.lattice import apply_plan, apply_plan_join, build_plan, build_plan_join
 from .components import constrain, init_raw_params
 
 __all__ = ["SimplexGP", "DenseGP"]
@@ -141,8 +141,15 @@ class SimplexGP:
         n = x.shape[0]
         m = min(root_rank or self.bbmm.max_lanczos_iterations, n)
         omega = jax.random.normal(key, (n, m), jnp.float32)
-        Q, _ = jnp.linalg.qr(mv(omega))  # (n, m) orthonormal range sketch
-        T = Q.T @ mv(Q)
+        # The sketch MVMs are m ~ 100 columns wide: use the join engine
+        # (column-count-independent gathers) -- the chain plan's transition
+        # sorts would carry all m columns as sort operands (see
+        # ops/filter.py _WIDE_COLS).
+        s, noise = params["outputscale"], params["noise"]
+        jplan = build_plan_join(ref, self.dk.coeffs, self.dk.variance)
+        mv_wide = lambda V: s * apply_plan_join(jplan, V, self.dk.coeffs) + noise * V
+        Q, _ = jnp.linalg.qr(mv_wide(omega))  # (n, m) orthonormal range sketch
+        T = Q.T @ mv_wide(Q)
         T = 0.5 * (T + T.T)
         evals, evecs = jnp.linalg.eigh(T)
         evals = jnp.maximum(evals, 1e-8)

@@ -38,6 +38,22 @@ from .lattice import apply_plan, apply_plan_join, build_plan, build_plan_join
 
 __all__ = ["lattice_filter", "lattice_filter_exact_grad"]
 
+# Chain-plan transition sorts carry EVERY value column as a sort operand,
+# and TPU variadic-sort compile time grows ~quadratically with operand
+# count (a 100-column rect filter at eval time compiled for > 25 min).
+# Above this width the gather-join engine (column-count-independent) wins
+# on both compile and run time.
+_WIDE_COLS = 16
+
+
+def _filter_plain(src: jax.Array, ref: jax.Array, dk: DiscretizedKernel) -> jax.Array:
+    """One filter application, engine chosen by value width (static)."""
+    if src.shape[-1] > _WIDE_COLS:
+        plan = build_plan_join(ref, dk.coeffs, dk.variance)
+        return apply_plan_join(plan, src, dk.coeffs)
+    plan = build_plan(ref, dk.coeffs, dk.variance)
+    return apply_plan(plan, src, dk.coeffs)
+
 
 def lattice_filter_exact_grad(src: jax.Array, ref: jax.Array, dk: DiscretizedKernel) -> jax.Array:
     """K(ref, ref) @ src, differentiable by PLAIN JAX autodiff.
@@ -57,8 +73,7 @@ def lattice_filter_exact_grad(src: jax.Array, ref: jax.Array, dk: DiscretizedKer
     hyperparameter training; ``lattice_filter`` keeps reference-parity
     derivative-filter gradients.
     """
-    plan = build_plan(ref, dk.coeffs, dk.variance)
-    return apply_plan(plan, src, dk.coeffs)
+    return _filter_plain(src, ref, dk)
 
 
 def lattice_filter_rect(
@@ -91,8 +106,7 @@ def lattice_filter(src: jax.Array, ref: jax.Array, dk: DiscretizedKernel) -> jax
     Returns:
       (n, L) filtered output, approximately ``K @ src`` with unit diagonal.
     """
-    plan = build_plan(ref, dk.coeffs, dk.variance)
-    return apply_plan(plan, src, dk.coeffs)
+    return _filter_plain(src, ref, dk)
 
 
 def _fwd(src, ref, dk):
