@@ -76,7 +76,11 @@ def _synthetic_uci(name: str, seed: int = 0) -> np.ndarray:
     and MVM benchmarks exercise realistic lattice occupancies.
     """
     n, d = UCI_SHAPES[name]
-    rng = np.random.default_rng(abs(hash(name)) % (2**31) + seed)
+    # Stable content hash: Python's hash() is salted per process, which
+    # would silently give every run a different "dataset".
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(name.encode()) + seed)
     x = rng.normal(size=(n, d)).astype(np.float32)
     w1 = rng.normal(size=(d, 8)).astype(np.float32) / np.sqrt(d)
     w2 = rng.normal(size=(8,)).astype(np.float32)
