@@ -10,11 +10,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import pathlib
 import pickle
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: the full NLML step graph (CG while_loop +
+# SLQ scan + pivoted-Cholesky loop + custom VJP) takes minutes to compile on
+# the tunneled TPU runtime; caching makes reruns/resumes start in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(pathlib.Path.home() / ".cache" / "jax_xla"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 
 def add_common_args(p: argparse.ArgumentParser):
@@ -28,6 +35,15 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--min-noise", type=float, default=1e-4)
     p.add_argument("--out", default="runs")
     p.add_argument("--max-n", type=int, default=0, help="optional training-subset cap")
+    p.add_argument(
+        "--ls-init",
+        default="default",
+        choices=["default", "median"],
+        help="lengthscale init: GPyTorch default softplus(0)=0.693, or the "
+        "median-pairwise-distance heuristic (essential in high d, where the "
+        "default puts all kernel mass below the nearest-neighbour distance "
+        "and lengthscale gradients vanish)",
+    )
     p.add_argument(
         "--resume",
         action="store_true",
@@ -50,6 +66,17 @@ def load_dataset(args):
     if args.max_n and ds.train_x.shape[0] > args.max_n:
         ds = ds._replace(train_x=ds.train_x[: args.max_n], train_y=ds.train_y[: args.max_n])
     return ds
+
+
+def init_kwargs(args, ds) -> dict:
+    """Model init_params kwargs implied by the CLI flags (currently --ls-init)."""
+    if getattr(args, "ls_init", "default") != "median":
+        return {}
+    x = np.asarray(ds.train_x)
+    sub = x[np.random.default_rng(0).permutation(x.shape[0])[:2000]]
+    d2 = ((sub[:, None, :] - sub[None, :, :]) ** 2).sum(-1)
+    med = float(np.sqrt(np.median(d2[d2 > 0])))
+    return {"lengthscale": med / np.sqrt(2.0)}
 
 
 def regression_metrics(mean, var, y):

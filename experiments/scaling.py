@@ -124,6 +124,12 @@ def main():
             "d": args.dim,
             "cols": args.cols,
             "mode": "weak" if args.weak else "strong",
+            # Virtual CPU devices all share ONE host's cores (and XLA:CPU
+            # already multithreads the 1-device run), so wall-clock speedup
+            # is structurally impossible here; these rows validate the
+            # communication pattern, not the linearity claim (real-mesh
+            # metric).  See module docstring.
+            **({"virtual_mesh": True} if args.virtual else {}),
             "filter_full_ms": round(t_full * 1e3, 3),
             "filter_mvm_per_s": round(1.0 / t_full, 3),
             "nlml_step_ms": round(t_step * 1e3, 3),

@@ -16,7 +16,7 @@ _HERE = str(pathlib.Path(__file__).resolve().parent)
 if _HERE not in sys.path:
     sys.path.insert(0, _HERE)
 
-from common import add_common_args, load_dataset, run_training  # noqa: E402
+from common import add_common_args, init_kwargs, load_dataset, run_training  # noqa: E402
 
 
 def main():
@@ -35,7 +35,7 @@ def main():
         nu=args.nu,
         min_noise=args.min_noise,
     )
-    run_training(model, model.init_params(), ds, args, "exact")
+    run_training(model, model.init_params(**init_kwargs(args, ds)), ds, args, "exact")
 
 
 if __name__ == "__main__":

@@ -15,7 +15,7 @@ _HERE = str(pathlib.Path(__file__).resolve().parent)
 if _HERE not in sys.path:
     sys.path.insert(0, _HERE)
 
-from common import add_common_args, load_dataset, run_training  # noqa: E402
+from common import add_common_args, init_kwargs, load_dataset, run_training  # noqa: E402
 
 
 def main():
@@ -38,7 +38,7 @@ def main():
         nu=args.nu,
         min_noise=args.min_noise,
     )
-    raw = model.init_params(jnp.asarray(ds.train_x), seed=args.seed)
+    raw = model.init_params(jnp.asarray(ds.train_x), seed=args.seed, **init_kwargs(args, ds))
     run_training(model, raw, ds, args, "sgpr")
 
 

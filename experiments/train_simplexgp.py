@@ -17,7 +17,7 @@ _HERE = str(pathlib.Path(__file__).resolve().parent)
 if _HERE not in sys.path:
     sys.path.insert(0, _HERE)
 
-from common import add_common_args, load_dataset, run_training  # noqa: E402
+from common import add_common_args, init_kwargs, load_dataset, run_training  # noqa: E402
 
 
 def main():
@@ -29,7 +29,9 @@ def main():
     p.add_argument("--cg-tol", type=float, default=1.0)
     p.add_argument("--cg-iter", type=int, default=500)
     p.add_argument("--lanc-iter", type=int, default=100)
-    p.add_argument("--pre-size", type=int, default=0)
+    # Reference canonical default: max_preconditioner_size=100
+    # (configs/simplexgp.yml, train_simplexgp.py:36).
+    p.add_argument("--pre-size", type=int, default=100)
     p.add_argument("--num-probes", type=int, default=10)
     args = p.parse_args()
 
@@ -50,7 +52,7 @@ def main():
             num_probes=args.num_probes,
         ),
     )
-    run_training(model, model.init_params(), ds, args, "simplexgp")
+    run_training(model, model.init_params(**init_kwargs(args, ds)), ds, args, "simplexgp")
 
 
 if __name__ == "__main__":

@@ -25,9 +25,9 @@ __all__ = ["CGResult", "cg_solve"]
 
 
 class CGResult(NamedTuple):
-    x: jax.Array  # (n, t) solution block
+    x: jax.Array  # (n, t) best-residual iterate per column
     iterations: jax.Array  # () int32, iterations actually run
-    residual_norm: jax.Array  # (t,) final residual norms (relative)
+    residual_norm: jax.Array  # (t,) best relative residual norms
 
 
 def cg_solve(
@@ -75,11 +75,11 @@ def cg_solve(
     rz0 = dot(r0, z0)  # (t,)
 
     def cond(state):
-        _, _, _, _, rz, it, done = state
+        _, _, _, _, _, it, done, _, _ = state
         return (it < max_iters) & ~jnp.all(done)
 
     def body(state):
-        x, r, p, z, rz, it, done = state
+        x, r, p, z, rz, it, done, x_best, res_best = state
         ap = matmul(p)
         pap = dot(p, ap)
         # Guard converged / degenerate columns against 0/0.
@@ -91,10 +91,21 @@ def cg_solve(
         beta = jnp.where(done | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
         p = z + beta * p
         res = jnp.sqrt(dot(r, r)) / b_norm
+        # Track the minimum-residual iterate per column.  For a healthy SPD
+        # solve this IS (numerically) the final iterate; when the operator is
+        # indefinite -- the lattice kernel's blur passes do not commute, and
+        # at long lengthscales the discretized operator picks up negative
+        # eigenvalues -- plain CG can diverge, and returning the best iterate
+        # degrades gracefully (x0 = 0, relative residual 1, is always a
+        # candidate, so a failed solve falls back to the prior mean instead
+        # of amplifying garbage into predictions).
+        better = res < res_best
+        x_best = jnp.where(better[None, :], x, x_best)
+        res_best = jnp.minimum(res, res_best)
         done = done | (res < tol)
-        return x, r, p, z, rz_new, it + 1, done
+        return x, r, p, z, rz_new, it + 1, done, x_best, res_best
 
     res0 = jnp.sqrt(dot(r0, r0)) / b_norm
-    state = (x0, r0, p0, z0, rz0, jnp.int32(0), res0 < tol)
-    x, r, _, _, _, it, _ = jax.lax.while_loop(cond, body, state)
-    return CGResult(x=x, iterations=it, residual_norm=jnp.sqrt(dot(r, r)) / b_norm)
+    state = (x0, r0, p0, z0, rz0, jnp.int32(0), res0 < tol, x0, res0)
+    _, _, _, _, _, it, _, x_best, res_best = jax.lax.while_loop(cond, body, state)
+    return CGResult(x=x_best, iterations=it, residual_norm=res_best)

@@ -677,9 +677,12 @@ def _chain_core(h1: jax.Array, h2: jax.Array, s: jax.Array, d: int, order: int, 
     iota = jnp.arange(M, dtype=jnp.int32)
 
     # ---- fused dedup + axis-0 chain sort over contributions -------------
+    # h1 is NOT carried as a payload: the axis-0 chain-word multiplier is 1
+    # (_axis_dir: coordinate-sum step of axes j < d is +1), so
+    # c1 = h1 - s*oh1 inverts to h1 = c1 + s*oh1 exactly (int32 wraparound).
     c1_0, c2_0 = _chain_words(h1, h2, s, np.array([0]), d)
     k0 = _pack(c2_0[0], s)
-    C1, K0, I, H1, H2 = jax.lax.sort((c1_0[0], k0, iota, h1, h2), num_keys=2)
+    C1, K0, I, H2 = jax.lax.sort((c1_0[0], k0, iota, h2), num_keys=2)
     # (chain word, packed s) identifies the point; H2 refines dedup back to
     # ~64 hash bits.  (A (C1, K0) collision between two distinct points can
     # split one point across table rows -- bounded, vanishing-probability
@@ -698,24 +701,25 @@ def _chain_core(h1: jax.Array, h2: jax.Array, s: jax.Array, d: int, order: int, 
     # Per-contribution destination (and compact segment id) in input order.
     _, dest, seg_orig = jax.lax.sort((I, iota, seg_sorted), num_keys=1)
 
-    # cnt[p] = #contributions with segment <= p (group-last positions,
-    # compacted by a sort, padding filled by a running max).
-    lastm = jnp.concatenate([newgrp[1:], jnp.ones((1,), bool)])
-    cnt0 = jax.lax.sort(
-        (jnp.where(lastm, seg_sorted, M + iota), jnp.where(lastm, iota + 1, 0)),
-        num_keys=1,
-    )[1]
-    cnt = jax.lax.cummax(cnt0)[:Mc]
-
-    # Unique-point hashes in table (axis-0 chain) order, sentinel-padded.
-    _, u_h1, u_h2, u_k0 = jax.lax.sort(
-        (jnp.where(newgrp, seg_sorted, M + iota), H1, H2, K0), num_keys=1
+    # ONE compaction sort yields the unique-point table (group-first rows,
+    # in axis-0 chain order) AND, via the group-first *positions*, the
+    # cumulative contribution counts: group g's contributions end where
+    # group g+1 starts, so cnt[g] = u_pos[g+1] (and M for the last live
+    # group and all padding rows).
+    _, u_pos, u_c1, u_h2, u_k0 = jax.lax.sort(
+        (jnp.where(newgrp, seg_sorted, M + iota), iota, C1, H2, K0), num_keys=1
     )
-    u_h1, u_h2, u_k0 = u_h1[:Mc], u_h2[:Mc], u_k0[:Mc]
+    u_pos, u_c1, u_h2, u_k0 = u_pos[:Mc], u_c1[:Mc], u_h2[:Mc], u_k0[:Mc]
+    u_pos_next = jnp.concatenate([u_pos[1:], jnp.full((1,), M, jnp.int32)])
+    cnt = jnp.where(iota_c + 1 < n_lattice, u_pos_next, M).astype(jnp.int32)
+
     live = iota_c < n_lattice
-    u_h1 = jnp.where(live, u_h1, _PAD_H1)
-    u_h2 = jnp.where(live, u_h2, _PAD_H2)
     u_s = jnp.where(live, (u_k0 & _S_MASK) - _S_BIAS, 0)
+    off0, _ = _axis_dir(d)
+    a64 = _hash_vectors(d).astype(np.int64)
+    oh1_0 = int((np.asarray([(off0[0] * a64[0]).sum()]) & 0xFFFFFFFF).astype(np.uint32).view(np.int32)[0])
+    u_h1 = jnp.where(live, u_c1 + u_s * oh1_0, _PAD_H1)
+    u_h2 = jnp.where(live, u_h2, _PAD_H2)
 
     # tapw[0]: adjacency weights in the table's own (axis-0) order.
     c1u, c2u = _chain_words(u_h1, u_h2, u_s, np.array([0]), d)
