@@ -76,10 +76,10 @@ def main():
 
     # Above this worst-case table size, measure the true occupancy once and
     # trim the plan capacity (houseelectric's M = 24.6M rows is ~4x the
-    # occupied count, precipitation's 2.5M is ~4000x; every per-row array
-    # and sort shrinks accordingly).  Trimming is skipped when occupancy is
-    # near the bound (e.g. keggdirected at 99.97%).
-    TRIM_ABOVE = 1024 * 1024
+    # occupied count, precipitation's 2.5M is ~4000x, protein's 457k is
+    # ~2.5x; every per-row array and sort shrinks accordingly).  Trimming is
+    # skipped when occupancy is near the bound (e.g. keggdirected at 99.97%).
+    TRIM_ABOVE = 256 * 1024
 
     for name in args.datasets:
         n, d, ref_exact, ref_simplex = SHAPES[name]

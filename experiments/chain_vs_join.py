@@ -1,4 +1,4 @@
-"""Large-scale engine differential: sort-chain vs gather-join filter.
+"""Large-scale engine differential: sort-chain vs gather-join vs fused filter.
 
 VERDICT item 8: the chain plan identifies lattice points by 43 hash bits +
 21 bits of coordinate sum (ops/lattice.py _pack), with an estimated ~1e-3
@@ -46,6 +46,7 @@ def main():
         apply_plan_join,
         build_plan_chain,
         build_plan_join,
+        filter_fused,
     )
     from simplex_gp_tpu.utils.timing import device_sync, warmup_device
 
@@ -61,6 +62,11 @@ def main():
     del cplan
     device_sync(out_c[0, 0])
 
+    # Third leg: the fused one-shot engine (full-precision 3-key chain sorts;
+    # the production rebuild-every-MVM path).
+    out_f = np.asarray(filter_fused(v, x, dk.coeffs, dk.variance))
+    device_sync(out_f[0, 0])
+
     jplan = build_plan_join(x, dk.coeffs, dk.variance)
     out_j = np.asarray(apply_plan_join(jplan, v, dk.coeffs))
     n_lat_join = int(jplan.n_lattice)
@@ -75,6 +81,9 @@ def main():
                 "c": args.c,
                 "order": args.order,
                 "rel_err": rel,
+                "rel_err_fused_vs_join": float(
+                    np.linalg.norm(out_f - out_j) / max(np.linalg.norm(out_j), 1e-30)
+                ),
                 "max_abs_err": float(np.abs(out_c - out_j).max()),
                 "max_pointwise_rel": float((np.abs(out_c - out_j) / denom).max()),
                 "n_lattice_chain": n_lat_chain,

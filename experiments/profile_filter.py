@@ -7,8 +7,12 @@ enabled via ``extra_cflags=['-DDEBUG']`` in experiments/cuda_test.py).
 
 Each stage is timed as an incremental prefix of the real pipeline (stage
 time = prefix(k) - prefix(k-1)), so XLA fusion across stage boundaries is
-reflected honestly rather than double-counted.  All timings are
-device-synced (utils/timing.py) with the dispatch floor subtracted.
+reflected honestly rather than double-counted.  Every prefix is timed with
+CHAINED on-device repetitions (utils/timing.py sync_time_chained): R
+dependent applications run inside one jitted fori_loop per host sync, so the
+~28 ms dispatch floor enters each estimate at 1/R strength -- r2's
+floor-subtracted single-shot timings produced NEGATIVE stage times for
+stages near the floor; chained prefixes cannot.
 
 Usage:
   python experiments/profile_filter.py [--n 16599] [--d 17] [--order 1]
@@ -34,7 +38,8 @@ def main():
     ap.add_argument("--d", type=int, default=17)
     ap.add_argument("--order", type=int, default=1)
     ap.add_argument("--cols", type=int, default=1)
-    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--chain", type=int, default=8, help="on-device reps per host sync")
     ap.add_argument("--capacity", type=int, default=0,
                     help="chain-table capacity; -1 = measure occupancy and trim, 0 = worst-case bound")
     args = ap.parse_args()
@@ -50,7 +55,7 @@ def main():
         count_lattice_points,
         filter_once,
     )
-    from simplex_gp_tpu.utils.timing import sync_floor, sync_time
+    from simplex_gp_tpu.utils.timing import sync_floor, sync_time_chained, warmup_device
 
     dk = K.rbf_kernel(args.order)
     rng = np.random.default_rng(0)
@@ -98,37 +103,62 @@ def main():
         gathered = table[plan.slice_idx]
         return (gathered * plan.weights[:, :, None]).sum(axis=1) * SLICE_NORM(d)
 
+    warmup_device()
     floor = sync_floor()
-    stage = {}
-    j_splat = jax.jit(splat)
-    j_blur = jax.jit(lambda p, vv: blur_prefix(p, vv, d + 1))
-    j_full = jax.jit(full_apply)
-    # Return a scalar touching EVERY plan leaf: returning one field lets XLA
-    # dead-code-eliminate the rest of the build (measured 2.3ms vs real 21ms).
-    j_build = jax.jit(
-        lambda xx: sum(
+
+    def chained_v(fn):
+        """Per-application seconds of fn(v-like) via dependent on-device reps.
+
+        The carry (a scalar of the previous output) perturbs v by ~1e-9 so
+        XLA cannot hoist the body out of the loop; all pipeline stages are
+        value-oblivious, so cost is unchanged."""
+        def step(i, carry):
+            out = fn(v + carry * 1e-9)
+            return jnp.ravel(out)[0].astype(jnp.float32)
+        return sync_time_chained(
+            step, jnp.zeros((), jnp.float32), chain=args.chain, reps=args.reps, floor=floor
+        )
+
+    def build_scalar(xx):
+        # Touch EVERY plan leaf: returning one field lets XLA dead-code-
+        # eliminate the rest of the build (measured 2.3ms vs real 21ms).
+        return sum(
             jnp.ravel(leaf)[-1].astype(jnp.float32)
             for leaf in jax.tree.leaves(
                 build_plan_chain(xx, dk.coeffs, dk.variance, capacity=cap)
             )
         )
-    )
-    j_once = jax.jit(lambda vv, xx: filter_once(vv, xx, dk.coeffs, dk.variance, cap))
 
-    t_splat = max(sync_time(j_splat, plan, v, reps=args.reps) - floor, 0.0)
-    t_blur = max(sync_time(j_blur, plan, v, reps=args.reps) - floor, 0.0)
-    t_full = max(sync_time(j_full, plan, v, reps=args.reps) - floor, 0.0)
-    t_build = max(sync_time(j_build, x, reps=args.reps) - floor, 0.0)
-    t_once = max(sync_time(j_once, v, x, reps=args.reps) - floor, 0.0)
+    t_splat = chained_v(lambda vv: splat(plan, vv))
+    t_blur = chained_v(lambda vv: blur_prefix(plan, vv, d + 1))
+    t_full = chained_v(lambda vv: full_apply(plan, vv))
+    t_build = sync_time_chained(
+        lambda i, c: build_scalar(x + c * 1e-9),
+        jnp.zeros((), jnp.float32),
+        chain=args.chain,
+        reps=args.reps,
+        floor=floor,
+    )
+    # Perturb X (not v): the fused build depends only on positions, and a
+    # loop-constant x would let XLA hoist the whole build out of the chain.
+    t_once = sync_time_chained(
+        lambda i, c: jnp.ravel(
+            filter_once(v, x + c * 1e-9, dk.coeffs, dk.variance, cap)
+        )[0],
+        jnp.zeros((), jnp.float32),
+        chain=args.chain,
+        reps=args.reps,
+        floor=floor,
+    )
 
     stage = {
         "splat_ms": round(t_splat * 1e3, 3),
-        "blur_ms": round((t_blur - t_splat) * 1e3, 3),
-        "slice_ms": round((t_full - t_blur) * 1e3, 3),
+        "blur_ms": round(max(t_blur - t_splat, 0.0) * 1e3, 3),
+        "slice_ms": round(max(t_full - t_blur, 0.0) * 1e3, 3),
         "apply_total_ms": round(t_full * 1e3, 3),
         "plan_build_ms": round(t_build * 1e3, 3),
         "filter_once_ms": round(t_once * 1e3, 3),
-        "per_transition_ms": round((t_blur - t_splat) / max(d, 1) * 1e3, 4),
+        "per_transition_ms": round(max(t_blur - t_splat, 0.0) / max(d, 1) * 1e3, 4),
         "n_lattice": int(plan.n_lattice),
         "capacity": cap,
         "sync_floor_ms": round(floor * 1e3, 3),

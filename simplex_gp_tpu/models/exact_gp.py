@@ -111,13 +111,15 @@ class SimplexGP:
         Khat^{-1} ~= (Q U L^{-1/2}) (Q U L^{-1/2})^T.
 
         TPU-native root construction: GPyTorch runs m SEQUENTIAL Lanczos
-        steps from one probe; here the basis comes from a randomized
-        range sketch with one power iteration (Halko-Martinsson-Tropp) --
+        steps from one probe; here the basis is a zero-power-iteration
+        randomized rangefinder (Halko-Martinsson-Tropp's basic scheme) --
         Y = Khat @ Omega, Q = qr(Y), T = Q^T (Khat @ Q) -- i.e. TWO batched
         m-column filter MVMs on the MXU instead of m dependent single-column
         ones, and a measurably richer rank-m subspace than a single-probe
         Krylov basis (validated against the dense lattice posterior in
-        tests/test_snelson.py).
+        tests/test_snelson.py).  The second MVM forms T, it does not
+        power-iterate the basis; Khat's spectrum decays fast enough here
+        that q=0 suffices (tests/test_love.py pins the accuracy).
         """
         params = self.constrained(raw)
         ref = x * params["inv_ell"]

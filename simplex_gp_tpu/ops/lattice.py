@@ -53,6 +53,7 @@ __all__ = [
     "apply_plan_chain",
     "count_lattice_points",
     "filter_once",
+    "filter_fused",
     "SLICE_NORM",
 ]
 
@@ -316,10 +317,12 @@ def _point_hashes(x: jax.Array, E: jax.Array, a: np.ndarray):
     return h1, h2, weights
 
 
-# Above this many rows, per-point geometry (whose transients are O(n d^2)
-# floats -- ~5 GB at houseelectric scale) is computed in fixed-size row
-# blocks under lax.map.
-_GEOMETRY_BLOCK_ROWS = 262_144
+# Element budget for per-point geometry transients, which are O(n d^2)
+# floats (rank comparisons, vertex keys: n*(d+1)*(d+2) elements each, a few
+# alive at once -- ~5 GB at houseelectric scale if unblocked).  The row block
+# is sized so each transient stays ~1 GB; low-d/large-n inputs (precipitation:
+# n=628k, d=3) then run UNBLOCKED, avoiding lax.map's sequential passes.
+_GEOMETRY_BLOCK_ELEMS = 256 * 1024 * 1024
 
 
 def _geometry_hs(x: jax.Array, E: jax.Array, a: np.ndarray):
@@ -332,7 +335,7 @@ def _geometry_hs(x: jax.Array, E: jax.Array, a: np.ndarray):
     """
     n, d = x.shape
     dp1 = d + 1
-    B = _GEOMETRY_BLOCK_ROWS
+    B = max(8192, _GEOMETRY_BLOCK_ELEMS // (dp1 * (d + 2)))
 
     def block(xb):
         nb = xb.shape[0]
@@ -498,7 +501,6 @@ def apply_plan_join(
     return out * SLICE_NORM(d)
 
 
-@functools.partial(jax.jit, static_argnames=("coeffs", "blur_variance", "capacity"))
 def filter_once(
     src: jax.Array,
     ref: jax.Array,
@@ -506,14 +508,16 @@ def filter_once(
     blur_variance: float,
     capacity: Optional[int] = None,
 ) -> jax.Array:
-    """One-shot filter(src, ref, coeffs): build the plan and apply it.
+    """One-shot filter(src, ref, coeffs): fused build+apply.
 
     Mirrors the reference entry point ``filter`` (cpp/lattice.cpp:6-16) for
     callers whose positions change every call (e.g. the rectangular
     cross-covariance MVM).  ``capacity`` as in :func:`build_plan_chain`.
+    Dispatches to :func:`filter_fused`, which is 25-40% faster than
+    build_plan_chain + apply_plan_chain for single-shot use (see its
+    docstring); the split path remains the engine for plan REUSE (CG/SLQ).
     """
-    plan = build_plan_chain(ref, coeffs, blur_variance, capacity=capacity)
-    return apply_plan_chain(plan, src, coeffs)
+    return filter_fused(src, ref, coeffs, blur_variance, capacity=capacity)
 
 
 # ---------------------------------------------------------------------------
@@ -893,9 +897,9 @@ def apply_plan_chain(
     blur -- at the same communication volume as a plain psum.
 
     NOTE: every transition sort carries its value columns as payloads; for
-    very wide v (> ~32 columns; e.g. the fused derivative-coefficient
-    backward filter) use the join plan, whose gather cost is
-    column-count-independent.
+    wide v (above ops/filter.py:_WIDE_COLS, currently 16; e.g. the fused
+    derivative-coefficient backward filter) use the join plan, whose gather
+    cost is column-count-independent.
     """
     n, dp1 = plan.weights.shape
     d = dp1 - 1
@@ -942,7 +946,187 @@ def apply_plan_chain(
 
     # Slice: replay the splat weights against the final-order table.
     gathered = table[plan.slice_idx]  # (n, d+1, c)
-    return (gathered * plan.weights[:, :, None]).sum(axis=1) * SLICE_NORM(d)
+    out = (gathered * plan.weights[:, :, None]).sum(axis=1) * SLICE_NORM(d)
+
+    # Capacity guard: a trimmed plan (capacity < n_lattice) silently drops
+    # lattice rows in _chain_core -- e.g. when lengthscales drift during
+    # training and occupancy grows past a capacity measured at init.  Poison
+    # the output with NaN instead of returning garbage: NaN propagates to the
+    # loss/predictions where every driver sees it immediately.  Costs one
+    # scalar compare per apply; always true for untrimmed plans (M >= any
+    # occupancy by construction).
+    return jnp.where(plan.n_lattice <= M, out, jnp.float32(jnp.nan))
+
+
+# ---------------------------------------------------------------------------
+# Fused one-shot filter: the rebuild-every-MVM path, maximally collapsed.
+#
+# The reference's convention is to rebuild its hash table on EVERY filter
+# call (its replay buffer cannot be reused); our benchmark "full MVM" numbers
+# follow that convention, so the one-shot path deserves its own fused
+# formulation instead of build_plan_chain + apply_plan_chain:
+#
+#   * the splat VALUES ride the dedup sort as payloads, so the apply-time
+#     splat sort and the dest un-sort (2 of the 4 full-M passes) disappear;
+#   * transitions sort by FULL-PRECISION per-axis chain words recomputed on
+#     the fly (3 int32 keys: c1, c2, raw s) -- no packed 43-bit words, so
+#     chain false-merge probability drops from ~2^-43 to ~2^-64 per pair,
+#     and no separate build pass producing k1/k2 is needed.  The axis-j
+#     chain-word multiplier is 1 for every axis j < d (_axis_dir), so
+#     (h1, h2) are recovered EXACTLY from the sorted keys (h = c + s*oh)
+#     and only the single transition into axis-d order carries h payloads;
+#   * the blur visits axes 0..d in the reference's order, then ONE extra
+#     transition returns the table to dedup (axis-0) order, so the slice
+#     indexes it directly with the contribution segment ids -- no rank_d
+#     inversion, no iota carriage.
+#
+# Cost for c value columns (M = n*(d+1) contribution rows, Mc = trimmed
+# table): (12 + c) full-M sort-operand passes + (4 + c) * (d + 1) + 2
+# Mc-row passes, vs build+apply's (13 + c) and ~(7 + c) * d.  Measured on
+# v5e: 25-40% faster end-to-end (runs/baseline_table_r3.jsonl).
+# ---------------------------------------------------------------------------
+
+
+def _axis_hash_consts(d: int):
+    """Per-axis (offset-hash1, offset-hash2, coord-sum step) as python ints."""
+    off, so = _axis_dir(d)
+    a64 = _hash_vectors(d).astype(np.int64)
+    wrap = lambda v: ((v & 0xFFFFFFFF).astype(np.uint32)).view(np.int32)
+    oh1 = wrap((off * a64[0]).sum(-1))  # (d+1,)
+    oh2 = wrap((off * a64[1]).sum(-1))
+    return [int(v) for v in oh1], [int(v) for v in oh2], [int(v) for v in so]
+
+
+def _tapw_full(c1: jax.Array, c2: jax.Array, s: jax.Array, step: int, order: int, cs):
+    """Forward tap weights from full-precision sorted chain words: (r, Mc).
+
+    Same contract as :func:`_axis_tap_weights` but chain identity is the full
+    64-bit (c1, c2) pair and the chain position is the raw coordinate sum
+    ``s`` -- no packing.  Padding rows (s == INT32_MAX) pair with nothing:
+    dead-dead pairs have ds == 0 (never a tap) and dead-live pairs differ in
+    c1 (pinned to INT32_MAX) up to a ~2^-64 collision.
+    """
+    rows = []
+    for k in range(1, order + 1):
+        same = (c1[k:] == c1[:-k]) & (c2[k:] == c2[:-k])
+        ds = s[k:] - s[:-k]
+        w = jnp.zeros(ds.shape, jnp.float32)
+        for t in range(k, order + 1):
+            w = jnp.where(same & (ds == t * step), np.float32(cs[order + t]), w)
+        rows.append(jnp.concatenate([w, jnp.zeros((k,), jnp.float32)]))
+    return jnp.stack(rows, axis=0)  # (r, Mc)
+
+
+_INT32_MAX = np.int32(2**31 - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("coeffs", "blur_variance", "capacity"))
+def filter_fused(
+    src: jax.Array,
+    x: jax.Array,
+    coeffs: tuple,
+    blur_variance: float,
+    capacity: Optional[int] = None,
+) -> jax.Array:
+    """Fused one-shot lattice filter: out ~= K(x, x) @ src, src (n, c).
+
+    See the section comment above for the design.  Applies the same operator
+    as ``apply_plan_chain(build_plan_chain(x, ...), src, ...)`` (identical
+    axis order and summation order), differing only under 64-bit hash
+    collisions.  ``capacity`` trims the lattice table as in
+    :func:`build_plan_chain`; an undersized capacity poisons the output with
+    NaN (same guard as apply_plan_chain).
+    """
+    cs = np.asarray(coeffs, np.float64)
+    if not np.allclose(cs, cs[::-1]):
+        raise ValueError("fused filter requires symmetric filter taps")
+    n, d = x.shape
+    dp1 = d + 1
+    order = (len(coeffs) - 1) // 2
+    center = float(cs[order])
+    E = jnp.asarray(build_rotation(d, blur_variance))
+    a = _hash_vectors(d)
+    oh1, oh2, mult = _axis_hash_consts(d)
+
+    h1, h2, s, weights = _geometry_hs(x, E, a)
+    M = n * dp1
+    Mc = M if capacity is None else min(capacity, M)
+    v = src.astype(jnp.float32)
+    c_in = v.shape[-1]
+    contrib = (v[:, None, :] * weights[:, :, None]).reshape(M, c_in)
+    iota = jnp.arange(M, dtype=jnp.int32)
+    cols = lambda t: tuple(t[:, k] for k in range(t.shape[1]))
+
+    # Dedup sort in axis-0 chain order, values riding as payloads.
+    c1_0 = mult[0] * h1 - s * oh1[0]
+    c2_0 = mult[0] * h2 - s * oh2[0]
+    srt = jax.lax.sort((c1_0, c2_0, s, iota) + cols(contrib), num_keys=3)
+    C1, C2, S, I = srt[0], srt[1], srt[2], srt[3]
+    CV = jnp.stack(srt[4:], axis=-1)  # (M, c) contributions in table order
+    newgrp = jnp.concatenate(
+        [jnp.ones((1,), bool), (C1[1:] != C1[:-1]) | (C2[1:] != C2[:-1]) | (S[1:] != S[:-1])]
+    )
+    seg_sorted = (jnp.cumsum(newgrp) - 1).astype(jnp.int32)
+    n_lattice = seg_sorted[-1] + 1
+
+    # Compact group leaders into the (trimmed) table; cnt = cumulative
+    # contribution counts per row (group g ends where group g+1 starts).
+    _, u_pos, u_c1, u_c2, u_s = jax.lax.sort(
+        (jnp.where(newgrp, seg_sorted, M + iota), iota, C1, C2, S), num_keys=1
+    )
+    u_pos, u_c1, u_c2, u_s = u_pos[:Mc], u_c1[:Mc], u_c2[:Mc], u_s[:Mc]
+    iota_c = jnp.arange(Mc, dtype=jnp.int32)
+    live = iota_c < n_lattice
+    u_c1 = jnp.where(live, u_c1, _INT32_MAX)
+    u_c2 = jnp.where(live, u_c2, _INT32_MAX)
+    u_s = jnp.where(live, u_s, _INT32_MAX)
+    u_pos_next = jnp.concatenate([u_pos[1:], jnp.full((1,), M, jnp.int32)])
+    cnt = jnp.where(iota_c + 1 < n_lattice, u_pos_next, M)
+
+    # Splat: per-group sums from boundary diffs of the contribution cumsum.
+    csum = jnp.cumsum(CV, axis=0)
+    L = jnp.concatenate([jnp.zeros((1, c_in), jnp.float32), csum], axis=0)[cnt]
+    table = L - jnp.concatenate([jnp.zeros((1, c_in), jnp.float32), L[:-1]], axis=0)
+
+    # Blur axes 0..d (reference order), then transition back to axis-0 order.
+    # Chain-word step per axis: +1 along axes j < d, -d along axis d; the
+    # ascending-s sort makes the sorted-neighbor coordinate-sum difference
+    # +1 resp. +d (matching build_plan_chain's _axis_tap_weights steps).
+    cur_c1, cur_c2, cur_s = u_c1, u_c2, u_s
+    h_carry = None  # (h1, h2) payloads, only live while in axis-d order
+    for j in range(dp1):
+        step = 1 if j < d else d
+        table = _chain_stencil(
+            table, _tapw_full(cur_c1, cur_c2, cur_s, step, order, cs), center, order
+        )
+        nxt = j + 1 if j < d else 0
+        dead = cur_s == _INT32_MAX
+        if j < d:
+            # mult[j] == 1: recover the point hashes exactly from the keys.
+            h1r = cur_c1 + cur_s * oh1[j]
+            h2r = cur_c2 + cur_s * oh2[j]
+        else:
+            h1r, h2r = h_carry  # axis d's multiplier (-d) is not invertible
+        n_c1 = jnp.where(dead, _INT32_MAX, mult[nxt] * h1r - cur_s * oh1[nxt])
+        n_c2 = jnp.where(dead, _INT32_MAX, mult[nxt] * h2r - cur_s * oh2[nxt])
+        ops = (n_c1, n_c2, cur_s) + cols(table)
+        if nxt == d:  # carry h into axis-d order for the final transition
+            ops = ops + (h1r, h2r)
+        out = jax.lax.sort(ops, num_keys=3)
+        cur_c1, cur_c2, cur_s = out[0], out[1], out[2]
+        table = jnp.stack(out[3 : 3 + c_in], axis=-1)
+        h_carry = (out[3 + c_in], out[4 + c_in]) if nxt == d else None
+
+    # The table is back in dedup (axis-0 chain) order: padding rows pin all
+    # three sort keys to INT32_MAX, so live rows occupy positions
+    # 0..n_lattice-1 in their original relative order (a live row could only
+    # sort among padding under a full 96-bit key tie, ~2^-64).  Slice indexes
+    # it directly with the contribution segment ids, un-sorted to input order.
+    _, seg_orig = jax.lax.sort((I, seg_sorted), num_keys=1)
+    gathered = table[seg_orig.reshape(n, dp1)]  # (n, d+1, c)
+    out = (gathered * weights[:, :, None]).sum(axis=1) * SLICE_NORM(d)
+    # Capacity guard, as in apply_plan_chain.
+    return jnp.where(n_lattice <= Mc, out, jnp.float32(jnp.nan))
 
 
 def build_plan(

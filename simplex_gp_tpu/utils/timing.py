@@ -61,12 +61,20 @@ def _is_transient(err: Exception) -> bool:
     return any(t in s for t in _TRANSIENT)
 
 
+# Monotone counter of transient-error retries across all sync points.
+# Timing loops snapshot it around each rep: a rep during which a retry
+# happened contains up to ~120 s of backoff sleep and must be discarded,
+# not averaged in (r2 advisor finding).
+_RETRY_COUNT = 0
+
+
 def with_retries(fn: Callable, deadline_s: float = 600.0, what: str = "op"):
     """Run ``fn()`` retrying transient runtime errors with backoff.
 
     Raises the last error once ``deadline_s`` of wall clock is spent.
     Progress goes to stderr so driver logs show liveness.
     """
+    global _RETRY_COUNT
     t0 = time.monotonic()
     delay = 1.0
     attempt = 0
@@ -75,6 +83,7 @@ def with_retries(fn: Callable, deadline_s: float = 600.0, what: str = "op"):
             return fn()
         except Exception as e:  # noqa: BLE001 - classify and re-raise below
             attempt += 1
+            _RETRY_COUNT += 1
             elapsed = time.monotonic() - t0
             if not _is_transient(e) or elapsed + delay > deadline_s:
                 raise
@@ -130,10 +139,19 @@ def sync_time(f: Callable, *args, reps: int = 10, warmup: int = 1) -> float:
     for _ in range(max(1, warmup)):
         device_sync(with_retries(lambda: f(*args), what="sync_time warmup"))
     ts = []
-    for _ in range(reps):
+    extra = 0
+    while len(ts) < reps:
+        before = _RETRY_COUNT
         t0 = time.perf_counter()
         device_sync(f(*args))
-        ts.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        if _RETRY_COUNT != before and extra < reps:
+            # A transient-error retry slept inside this rep's timing window
+            # (up to ~120 s of backoff): discard the rep and measure again.
+            extra += 1
+            print("[timing] discarding rep containing a transient retry", file=sys.stderr)
+            continue
+        ts.append(dt)
     return statistics.median(ts)
 
 
@@ -166,9 +184,16 @@ def sync_time_chained(
     )
     device_sync(with_retries(lambda: looped(init), what="chained warmup"))
     ts = []
-    for _ in range(reps):
+    extra = 0
+    while len(ts) < reps:
+        before = _RETRY_COUNT
         t0 = time.perf_counter()
         device_sync(looped(init))
-        ts.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        if _RETRY_COUNT != before and extra < reps:
+            extra += 1  # rep polluted by transient-retry backoff sleep
+            print("[timing] discarding rep containing a transient retry", file=sys.stderr)
+            continue
+        ts.append(dt)
     t = statistics.median(ts)
     return max(t - floor, 1e-9) / chain

@@ -140,3 +140,53 @@ def test_chunked_build_matches_fused(monkeypatch):
         np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_c), rtol=1e-6)
     finally:
         lat.build_plan_chain.clear_cache()
+
+
+def test_capacity_trim_exact_and_overflow_guard():
+    """A sufficient capacity gives bit-identical output; an UNDERSIZED
+    capacity must poison the output with NaN rather than silently corrupt it
+    (the r2 advisor's medium finding: lengthscale drift during training can
+    push occupancy past a capacity measured at init)."""
+    dk = kernels.rbf_kernel(1)
+    x, v = _data(400, 5, c=2, seed=7)
+
+    full = lattice.build_plan_chain(x, dk.coeffs, dk.variance)
+    n_lat = int(full.n_lattice)
+    out_full = np.asarray(lattice.apply_plan_chain(full, v, dk.coeffs))
+
+    trimmed = lattice.build_plan_chain(x, dk.coeffs, dk.variance, capacity=n_lat + 8)
+    assert int(trimmed.n_lattice) == n_lat
+    out_trim = np.asarray(lattice.apply_plan_chain(trimmed, v, dk.coeffs))
+    np.testing.assert_allclose(out_trim, out_full, rtol=1e-6, atol=1e-6)
+
+    under = lattice.build_plan_chain(x, dk.coeffs, dk.variance, capacity=max(8, n_lat // 2))
+    assert int(under.n_lattice) == n_lat  # occupancy is still reported truthfully
+    out_under = np.asarray(lattice.apply_plan_chain(under, v, dk.coeffs))
+    assert np.isnan(out_under).all()
+
+
+@pytest.mark.parametrize(
+    "n,d,order,c",
+    [(300, 3, 1, 1), (257, 5, 2, 3), (64, 17, 1, 2), (200, 1, 1, 1)],
+)
+def test_fused_filter_matches_plan_path(n, d, order, c):
+    """filter_fused (the one-shot rebuild-every-MVM engine) applies the SAME
+    operator as build_plan_chain + apply_plan_chain: identical axis order and
+    summation order, differing only under 64-bit hash collisions."""
+    dk = kernels.rbf_kernel(order)
+    x, v = _data(n, d, c=c)
+    plan = lattice.build_plan_chain(x, dk.coeffs, dk.variance)
+    ref = np.asarray(lattice.apply_plan_chain(plan, v, dk.coeffs))
+    fused = np.asarray(lattice.filter_fused(v, x, dk.coeffs, dk.variance))
+    np.testing.assert_allclose(fused, ref, rtol=1e-5, atol=1e-6)
+
+    nl = int(plan.n_lattice)
+    trimmed = np.asarray(
+        lattice.filter_fused(v, x, dk.coeffs, dk.variance, capacity=nl + 8)
+    )
+    np.testing.assert_allclose(trimmed, ref, rtol=1e-5, atol=1e-6)
+    if nl >= 2:  # capacity nl-1 is guaranteed undersized
+        under = np.asarray(
+            lattice.filter_fused(v, x, dk.coeffs, dk.variance, capacity=nl - 1)
+        )
+        assert np.isnan(under).all()
