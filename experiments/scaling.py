@@ -83,6 +83,7 @@ def main():
     dk = rbf_kernel(args.order)
 
     out_f = open(args.out, "a") if args.out else None
+    cpad = lambda p: -(-args.cols // p) * p  # padded column count per mesh size
     base = {}
     for n_dev in ladder:
         n = args.n * (n_dev if args.weak else 1)
@@ -130,6 +131,18 @@ def main():
             # communication pattern, not the linearity claim (real-mesh
             # metric).  See module docstring.
             **({"virtual_mesh": True} if args.virtual else {}),
+            # Communication accounting (analytic, per MVM, per device):
+            # the column-split blur psum_scatters the (M, c_pad) partial
+            # table (send (P-1)/P of it) and all_gathers the blurred blocks
+            # back (receive the same), so volume = 2 * M*c_pad*4 * (P-1)/P.
+            # Plan build all_gathers 12 bytes per lattice vertex once.
+            # These separate communication cost from CPU contention in the
+            # virtual-mesh rows, where cores are shared (see docstring).
+            "comm_table_bytes": n * (args.dim + 1) * cpad(n_dev) * 4,
+            "comm_per_device_bytes_per_mvm": int(
+                2 * n * (args.dim + 1) * cpad(n_dev) * 4 * (n_dev - 1) / n_dev
+            ),
+            "comm_plan_build_bytes": n * (args.dim + 1) * 12,
             "filter_full_ms": round(t_full * 1e3, 3),
             "filter_mvm_per_s": round(1.0 / t_full, 3),
             "nlml_step_ms": round(t_step * 1e3, 3),
