@@ -45,6 +45,22 @@ def add_common_args(p: argparse.ArgumentParser):
         "and lengthscale gradients vanish)",
     )
     p.add_argument(
+        "--plan-capacity",
+        type=int,
+        default=0,
+        help="lattice-table capacity for the training plan: 0 = worst-case "
+        "bound n*(d+1), -1 = measure occupancy at the initial lengthscale "
+        "and trim with 1.25x headroom (houseelectric-scale runs need this; "
+        "an overflow during training poisons the loss with NaN rather than "
+        "corrupting it -- ops/lattice.py capacity guard), >0 = explicit",
+    )
+    p.add_argument(
+        "--no-eval",
+        action="store_true",
+        help="skip val/test prediction passes (pure NLML training-throughput "
+        "runs at scales where the eval path would dominate wall-clock)",
+    )
+    p.add_argument(
         "--resume",
         action="store_true",
         help="resume from the run directory's checkpoint.pkl (params, "
@@ -158,7 +174,7 @@ def run_training(model, raw, ds, args, name: str):
         loss = float(loss)
         rec = {"epoch": epoch, "train/mll": -loss, "train/loss_ts": time.perf_counter() - t0}
 
-        if (epoch + 1) % args.log_int == 0 or epoch == args.epochs - 1:
+        if ((epoch + 1) % args.log_int == 0 or epoch == args.epochs - 1) and not getattr(args, "no_eval", False):
             t0 = time.perf_counter()
             vm, vv = model.predict(raw, x, y, jnp.asarray(ds.val_x), k2)
             rec.update({f"val/{k}": v for k, v in regression_metrics(vm, vv, ds.val_y).items()})
@@ -180,11 +196,14 @@ def run_training(model, raw, ds, args, name: str):
     best_raw = stopper.best_state if stopper.best_state is not None else jax.tree.map(np.asarray, raw)
     best_raw = jax.tree.map(jnp.asarray, best_raw)
 
-    key, k3 = jax.random.split(key)
-    tm, tv = model.predict(best_raw, x, y, jnp.asarray(ds.test_x), k3)
-    final = {f"test/{k}": v for k, v in regression_metrics(tm, tv, ds.test_y).items()}
-    print(json.dumps(final), flush=True)
-    log_f.write(json.dumps(final) + "\n")
+    if getattr(args, "no_eval", False):
+        final = {}
+    else:
+        key, k3 = jax.random.split(key)
+        tm, tv = model.predict(best_raw, x, y, jnp.asarray(ds.test_x), k3)
+        final = {f"test/{k}": v for k, v in regression_metrics(tm, tv, ds.test_y).items()}
+        print(json.dumps(final), flush=True)
+        log_f.write(json.dumps(final) + "\n")
     log_f.close()
     with open(out_dir / "model_final.pkl", "wb") as f:
         pickle.dump(jax.tree.map(np.asarray, best_raw), f)

@@ -76,11 +76,8 @@ def main():
     @jax.jit
     def dense_mvm(vv):
         d2 = ((xj[:, None, :] - xj[None, :, :]) ** 2).sum(-1)
-        if args.kernel == "rbf":
-            Km = jnp.exp(-d2)
-        else:
-            dd = jnp.sqrt(d2 + 1e-12)
-            Km = (1 + jnp.sqrt(3.0) * dd) * jnp.exp(-jnp.sqrt(3.0) * dd)
+        # Exact kernel of the SAME family/nu as the lattice side.
+        Km = K.kernel_value_jnp(dk, d2)
         return Km @ vv
 
     t_exact = sync_time(dense_mvm, jnp.asarray(vs), reps=args.iters)
@@ -100,6 +97,7 @@ def main():
                 "d": int(x_all.shape[1]),
                 "order": args.order,
                 "kernel": args.kernel,
+                "nu": args.nu if args.kernel == "matern" else None,
                 "rel_err": rel,
                 "cos_err": cos,
                 "ts/lattice": t_lattice,

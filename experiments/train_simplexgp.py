@@ -38,6 +38,23 @@ def main():
     from simplex_gp_tpu import BBMMConfig, SimplexGP
 
     ds = load_dataset(args)
+    plan_capacity = None
+    if args.plan_capacity == -1:
+        import numpy as np
+
+        from simplex_gp_tpu.ops.kernels import matern_kernel, rbf_kernel
+        from simplex_gp_tpu.ops.lattice import count_lattice_points
+
+        dk = rbf_kernel(args.order) if args.kernel == "rbf" else matern_kernel(args.nu, args.order)
+        kw = init_kwargs(args, ds)
+        ell = float(kw.get("lengthscale", 0.6931))
+        occ = int(count_lattice_points(ds.train_x / ell, dk.variance, dk.coeffs))
+        n, d = ds.train_x.shape
+        plan_capacity = min(-(-int(occ * 1.25) // 8192) * 8192, n * (d + 1))
+        print(f"plan capacity: occupancy {occ} -> capacity {plan_capacity} "
+              f"(worst case {n * (d + 1)})", flush=True)
+    elif args.plan_capacity > 0:
+        plan_capacity = args.plan_capacity
     model = SimplexGP(
         num_dims=ds.train_x.shape[-1],
         kernel=args.kernel,
@@ -50,6 +67,7 @@ def main():
             max_lanczos_iterations=args.lanc_iter,
             precond_rank=args.pre_size,
             num_probes=args.num_probes,
+            plan_capacity=plan_capacity,
         ),
     )
     run_training(model, model.init_params(**init_kwargs(args, ds)), ds, args, "simplexgp")
