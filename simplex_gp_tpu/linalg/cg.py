@@ -106,6 +106,18 @@ def cg_solve(
         return x, r, p, z, rz_new, it + 1, done, x_best, res_best
 
     res0 = jnp.sqrt(dot(r0, r0)) / b_norm
-    state = (x0, r0, p0, z0, rz0, jnp.int32(0), res0 < tol, x0, res0)
+    # Never mark a column converged at iteration ZERO.  res0 is
+    # sqrt(dot(b,b))/b_norm -- mathematically 1, but the numerator and
+    # denominator are separate f32 reductions that can round one ulp apart,
+    # and which way they round depends on the VALUES of b (e.g. the drifting
+    # mean parameter during training).  At the reference's training
+    # tolerance tol=1.0 (configs/simplexgp.yml), `res0 < tol` then flips
+    # between epochs: a spuriously "pre-converged" column stays frozen at
+    # x0 = 0, zeroing its inv_quad term and jumping the NLML by ~0.4
+    # nats/point (the r2 "bimodal MLL" pathology -- see
+    # analysis/NLML_BIMODAL.md).  One CG iteration is always sound on an
+    # SPD operator, so start every column live.
+    done0 = jnp.zeros(res0.shape, bool)
+    state = (x0, r0, p0, z0, rz0, jnp.int32(0), done0, x0, res0)
     _, _, _, _, _, it, _, x_best, res_best = jax.lax.while_loop(cond, body, state)
     return CGResult(x=x_best, iterations=it, residual_norm=res_best)

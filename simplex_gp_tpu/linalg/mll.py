@@ -60,7 +60,9 @@ class BBMMConfig:
     # Static chain-table capacity for the training-operator plan (see
     # ops/lattice.py build_plan_chain).  Opt-in for very large n: measure
     # occupancy once (count_lattice_points) and leave headroom for
-    # lengthscale drift; the engine does NOT verify it at trace time.
+    # lengthscale drift.  An overflow (occupancy > capacity, e.g. after the
+    # lengthscales shrink) poisons the filter output -- and thus the loss --
+    # with NaN instead of silently corrupting it (apply_plan_chain guard).
     plan_capacity: Optional[int] = None
     # Mesh axis for data-sharded training (set inside shard_map over the data
     # axis; see parallel/shard_filter.py).  x/y/probes then hold this shard's

@@ -205,3 +205,30 @@ def test_preconditioned_slq_logdet_beats_plain():
     pre = float(P.logdet) + float(slq_logdet(mv_pre, z, num_iters=m))
     assert abs(pre - true) <= abs(plain - true) + 1e-3, (pre, plain, true)
     assert abs(pre - true) / abs(true) < 0.05, (pre, true)
+
+
+def test_cg_always_takes_one_iteration_at_loose_tol():
+    """At the reference's training tolerance (cg_tolerance=1.0) the initial
+    relative residual is mathematically 1 but rounds one f32 ulp either way
+    (numerator and denominator are separate reductions); a column that
+    rounds below 1.0 must NOT be frozen at x0=0 (the r2 bimodal-NLML root
+    cause: inv_quad silently became 0 whenever the drifting mean parameter
+    flipped the rounding -- analysis/NLML_BIMODAL.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simplex_gp_tpu.linalg.cg import cg_solve
+
+    rng = np.random.default_rng(0)
+    n = 256
+    A = np.eye(n, dtype=np.float32) * 1.3 + 0.01 * rng.normal(size=(n, n)).astype(np.float32)
+    A = 0.5 * (A + A.T)
+    b = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    mv = lambda V: jnp.asarray(A) @ V
+    res = cg_solve(mv, b, tol=1.0, max_iters=50)
+    assert int(res.iterations) >= 1
+    x = np.asarray(res.x)
+    # Every nonzero column must have made progress: nonzero solve, res < 1.
+    assert (np.linalg.norm(x, axis=0) > 0).all()
+    assert (np.asarray(res.residual_norm) < 1.0).all()
