@@ -190,3 +190,24 @@ def test_fused_filter_matches_plan_path(n, d, order, c):
             lattice.filter_fused(v, x, dk.coeffs, dk.variance, capacity=nl - 1)
         )
         assert np.isnan(under).all()
+
+
+def test_fused_grad_matches_plan_path():
+    """Plain autodiff through filter_fused (sorts/cumsums/gathers all the
+    way down) must produce the same value AND position gradients as the
+    build+apply chain path -- this licenses routing the one-shot callers
+    (custom-vjp backward, rect prediction MVM) through the fused engine."""
+    dk = kernels.rbf_kernel(1)
+    x, v = _data(150, 4, c=2, seed=3)
+
+    def loss_plan(xx, vv):
+        p = lattice.build_plan_chain(xx, dk.coeffs, dk.variance)
+        return (lattice.apply_plan_chain(p, vv, dk.coeffs) ** 2).sum()
+
+    def loss_fused(xx, vv):
+        return (lattice.filter_fused(vv, xx, dk.coeffs, dk.variance) ** 2).sum()
+
+    gx_p, gv_p = jax.grad(loss_plan, argnums=(0, 1))(x, v)
+    gx_f, gv_f = jax.grad(loss_fused, argnums=(0, 1))(x, v)
+    np.testing.assert_allclose(np.asarray(gv_f), np.asarray(gv_p), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_p), rtol=1e-3, atol=1e-4)
