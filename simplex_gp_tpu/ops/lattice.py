@@ -944,9 +944,17 @@ def apply_plan_chain(
             table, axis_name, axis=1, tiled=True
         )[:, :c_in]  # (M, c_in)
 
-    # Slice: replay the splat weights against the final-order table.
-    gathered = table[plan.slice_idx]  # (n, d+1, c)
-    out = (gathered * plan.weights[:, :, None]).sum(axis=1) * SLICE_NORM(d)
+    # Slice: replay the splat weights against the final-order table.  The
+    # gather output's MINOR dimension must be the huge flat one (n*(d+1)):
+    # gathering (n*(d+1), c) or (c, n, d+1) makes XLA pad the c- or
+    # (d+1)-wide minor dim to 128 lanes -- a 12.8x-padded 7.5 GB
+    # intermediate at houseelectric scale (c=10 CG block) that OOMed the
+    # training step.  (c, n*(d+1)) pads only the c sublanes (<= 1.6x).
+    flat_idx = plan.slice_idx.reshape(-1)
+    gathered = table.T[:, flat_idx]  # (c, n*(d+1))
+    wflat = plan.weights.reshape(-1)
+    out = (gathered * wflat[None, :]).reshape(-1, n, dp1).sum(-1).T
+    return jnp.where(plan.n_lattice <= M, out * SLICE_NORM(d), jnp.float32(jnp.nan))
 
     # Capacity guard: a trimmed plan (capacity < n_lattice) silently drops
     # lattice rows in _chain_core -- e.g. when lengthscales drift during
@@ -1123,8 +1131,9 @@ def filter_fused(
     # sort among padding under a full 96-bit key tie, ~2^-64).  Slice indexes
     # it directly with the contribution segment ids, un-sorted to input order.
     _, seg_orig = jax.lax.sort((I, seg_sorted), num_keys=1)
-    gathered = table[seg_orig.reshape(n, dp1)]  # (n, d+1, c)
-    out = (gathered * weights[:, :, None]).sum(axis=1) * SLICE_NORM(d)
+    # Transposed-table gather: see apply_plan_chain's slice for why.
+    gathered = table.T[:, seg_orig.reshape(n, dp1)]  # (c, n, d+1)
+    out = jnp.einsum("cnk,nk->nc", gathered, weights) * SLICE_NORM(d)
     # Capacity guard, as in apply_plan_chain.
     return jnp.where(n_lattice <= Mc, out, jnp.float32(jnp.nan))
 
