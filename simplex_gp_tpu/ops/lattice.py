@@ -954,8 +954,6 @@ def apply_plan_chain(
     gathered = table.T[:, flat_idx]  # (c, n*(d+1))
     wflat = plan.weights.reshape(-1)
     out = (gathered * wflat[None, :]).reshape(-1, n, dp1).sum(-1).T
-    return jnp.where(plan.n_lattice <= M, out * SLICE_NORM(d), jnp.float32(jnp.nan))
-
     # Capacity guard: a trimmed plan (capacity < n_lattice) silently drops
     # lattice rows in _chain_core -- e.g. when lengthscales drift during
     # training and occupancy grows past a capacity measured at init.  Poison
@@ -963,7 +961,7 @@ def apply_plan_chain(
     # loss/predictions where every driver sees it immediately.  Costs one
     # scalar compare per apply; always true for untrimmed plans (M >= any
     # occupancy by construction).
-    return jnp.where(plan.n_lattice <= M, out, jnp.float32(jnp.nan))
+    return jnp.where(plan.n_lattice <= M, out * SLICE_NORM(d), jnp.float32(jnp.nan))
 
 
 # ---------------------------------------------------------------------------

@@ -27,7 +27,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_loss_fn"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_loss_fn", "gspmd_loss_fn"]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:

@@ -180,6 +180,39 @@ def test_data_parallel_loss_fn_end_to_end():
     np.testing.assert_allclose(float(loss1), float(loss8), rtol=0.25, atol=0.25)
 
 
+def test_gspmd_loss_fn_matches_single_device():
+    """GSPMD cross-check (VERDICT r3 item 8): jitting the SINGLE-DEVICE nlml
+    with sharded inputs is the same traced program, just partitioned by XLA's
+    SPMD pass -- loss and grads must match the unsharded run to f32 reduction
+    tolerance (same key => same probes, unlike the shard_map wrapper which
+    folds the key per shard)."""
+    from simplex_gp_tpu.parallel import gspmd_loss_fn
+
+    x, y = _problem()
+    model = SimplexGP(
+        num_dims=2, kernel="rbf", order=1,
+        bbmm=BBMMConfig(cg_tolerance=1e-4, max_cg_iterations=200,
+                        max_lanczos_iterations=40, num_probes=8),
+    )
+    raw = model.init_params()
+    key = jax.random.PRNGKey(3)
+
+    loss1, grads1 = jax.value_and_grad(
+        lambda r: model.nlml(r, jnp.asarray(x), jnp.asarray(y), key)
+    )(raw)
+
+    mesh = make_mesh()
+    fn = gspmd_loss_fn(model, mesh)
+    xs, ys = shard_batch(mesh, x, y)
+    loss8, grads8 = fn(replicate(mesh, raw), xs, ys, key)
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-4, atol=1e-4)
+    for k in grads1:
+        np.testing.assert_allclose(
+            np.asarray(grads1[k]), np.asarray(grads8[k]), rtol=1e-3, atol=1e-4
+        )
+
+
 def test_shard_batch_truncates_to_mesh_multiple():
     mesh = make_mesh()
     x = np.ones((10, 3), np.float32)
