@@ -166,6 +166,21 @@ def run_training(model, raw, ds, args, name: str):
                 f,
             )
 
+    # Cached-posterior eval (VERDICT r3 item 4): build the posterior cache
+    # (alpha + LOVE root) ONCE per eval point and share it between the val
+    # pass and -- when the best epoch's params are being reused -- the final
+    # test pass, mirroring the reference's cached train solves under
+    # fast_pred_var (train_simplexgp.py:63-71).  Models without a cache API
+    # (DenseGP/SGPR/SKI) fall back to their one-shot predict.
+    has_cache = hasattr(model, "posterior_cache")
+    best_cache = None  # posterior cache at the early-stopper's best params
+
+    def eval_block(cur_raw, x_eval, k):
+        if not has_cache:
+            return None, model.predict(cur_raw, x, y, x_eval, k)
+        cache = model.posterior_cache(cur_raw, x, y, k)
+        return cache, model.predict_from_cache(cache, x, x_eval)
+
     stopped = False
     for epoch in range(start_epoch, args.epochs):
         key, k1, k2 = jax.random.split(key, 3)
@@ -176,12 +191,13 @@ def run_training(model, raw, ds, args, name: str):
 
         if ((epoch + 1) % args.log_int == 0 or epoch == args.epochs - 1) and not getattr(args, "no_eval", False):
             t0 = time.perf_counter()
-            vm, vv = model.predict(raw, x, y, jnp.asarray(ds.val_x), k2)
+            cache, (vm, vv) = eval_block(raw, jnp.asarray(ds.val_x), k2)
             rec.update({f"val/{k}": v for k, v in regression_metrics(vm, vv, ds.val_y).items()})
             rec["val/pred_ts"] = time.perf_counter() - t0
             if stopper.step(rec["val/rmse"], jax.tree.map(np.asarray, raw)):
                 stopped = True
             if stopper.is_best:
+                best_cache = cache
                 with open(out_dir / "model_best.pkl", "wb") as f:
                     pickle.dump(jax.tree.map(np.asarray, raw), f)
             save_checkpoint(epoch)
@@ -200,8 +216,17 @@ def run_training(model, raw, ds, args, name: str):
         final = {}
     else:
         key, k3 = jax.random.split(key)
-        tm, tv = model.predict(best_raw, x, y, jnp.asarray(ds.test_x), k3)
+        t0 = time.perf_counter()
+        if has_cache and best_cache is not None:
+            # The best epoch's val cache IS the posterior at best_raw: reuse.
+            tm, tv = model.predict_from_cache(best_cache, x, jnp.asarray(ds.test_x))
+        elif has_cache:
+            cache = model.posterior_cache(best_raw, x, y, k3)
+            tm, tv = model.predict_from_cache(cache, x, jnp.asarray(ds.test_x))
+        else:
+            tm, tv = model.predict(best_raw, x, y, jnp.asarray(ds.test_x), k3)
         final = {f"test/{k}": v for k, v in regression_metrics(tm, tv, ds.test_y).items()}
+        final["test/pred_ts"] = time.perf_counter() - t0
         print(json.dumps(final), flush=True)
         log_f.write(json.dumps(final) + "\n")
     log_f.close()

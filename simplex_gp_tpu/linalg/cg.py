@@ -37,6 +37,7 @@ def cg_solve(
     max_iters: int = 500,
     precond: Optional[Callable[[jax.Array], jax.Array]] = None,
     axis_name: Optional[str] = None,
+    min_iters: int = 10,
 ) -> CGResult:
     """Solve ``A x = b`` for an SPD implicit operator, all columns at once.
 
@@ -53,6 +54,13 @@ def cg_solve(
         mesh axis: every inner product becomes a psum over ICI, and matmul
         must be the data-sharded operator.  All shards run the identical
         iteration (same scalars after psum), so control flow stays in sync.
+      min_iters: iteration FLOOR before the tolerance check may stop a
+        column.  GPyTorch's linear_cg guards its tolerance test with
+        ``k >= min(10, max_iter - 1)`` -- without that floor, the reference's
+        canonical TRAINING tolerance of 1.0 (configs/simplexgp.yml) would
+        stop after a single iteration and train on near-garbage solves.
+        Parity requires the same floor; ``min(min_iters, max_iters)`` is
+        used so tiny explicit budgets still work.
 
     Returns:
       CGResult with the solution block and diagnostics.
@@ -73,6 +81,8 @@ def cg_solve(
     z0 = precond(r0)
     p0 = z0
     rz0 = dot(r0, z0)  # (t,)
+
+    floor = min(min_iters, max_iters)
 
     def cond(state):
         _, _, _, _, _, it, done, _, _ = state
@@ -102,7 +112,9 @@ def cg_solve(
         better = res < res_best
         x_best = jnp.where(better[None, :], x, x_best)
         res_best = jnp.minimum(res, res_best)
-        done = done | (res < tol)
+        # GPyTorch-parity iteration floor: the tolerance may not stop a
+        # column before `floor` iterations have run (see docstring).
+        done = done | ((res < tol) & (it + 1 >= floor))
         return x, r, p, z, rz_new, it + 1, done, x_best, res_best
 
     res0 = jnp.sqrt(dot(r0, r0)) / b_norm

@@ -18,6 +18,7 @@ side of the Snelson parity test (tests/train_snelson.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -103,6 +104,7 @@ class SimplexGP:
 
         return mv
 
+    @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("root_rank",))
     def posterior_cache(self, raw: dict, x: jax.Array, y: jax.Array, key: jax.Array, root_rank: Optional[int] = None):
         """Precompute alpha = Khat^{-1} y_c and the LOVE root for variances.
 
@@ -158,27 +160,47 @@ class SimplexGP:
         root_inv = Q @ (evecs / jnp.sqrt(evals)[None, :])  # (n, m)
         return {"alpha": alpha, "root_inv": root_inv, "params": params}
 
-    def predict(self, raw: dict, x: jax.Array, y: jax.Array, x_test: jax.Array, key: jax.Array):
-        """Posterior mean and variance (with observation noise) at x_test."""
-        cache = self.posterior_cache(raw, x, y, key)
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def predict_from_cache(self, cache: dict, x: jax.Array, x_test: jax.Array):
+        """Posterior mean and variance at x_test from a precomputed cache.
+
+        ONE rectangular filter call of 1+m columns ([alpha | root_inv]) --
+        the mean and LOVE-variance cross-covariance MVMs share the joint
+        plan over [train; test] positions, so prediction at a new test block
+        costs a single join-plan build + apply (the reference's eval
+        likewise reuses its training caches under fast_pred_var,
+        train_simplexgp.py:63-71; rebuilding the posterior per predict call
+        was the r3 42-47 s/eval pathology).
+        """
         params = cache["params"]
         ref = x * params["inv_ell"]
         ref_test = x_test * params["inv_ell"]
         s = params["outputscale"]
 
-        # mean* = K(test, train) alpha + mu  (one rectangular filter call)
-        mean = (
-            s * lattice_filter_rect(cache["alpha"][:, None], ref, ref_test, self.dk)[:, 0]
-            + params["mean"]
-        )
+        cols = jnp.concatenate([cache["alpha"][:, None], cache["root_inv"]], axis=-1)
+        F = lattice_filter_rect(cols, ref, ref_test, self.dk)  # (n_test, 1+m)
 
-        # var* = k** + noise - || K(test, train) root_inv ||^2 row-wise,
+        # mean* = K(test, train) alpha + mu.
+        mean = s * F[:, 0] + params["mean"]
+
+        # var* = k** + noise - || s * K(test, train) root_inv ||^2 row-wise,
         # k** = outputscale (normalized kernel has unit diagonal,
-        # bilateral_kernel.py:139-140).  One rectangular filter of m columns.
-        S = s * lattice_filter_rect(cache["root_inv"], ref, ref_test, self.dk)
+        # bilateral_kernel.py:139-140).
+        S = s * F[:, 1:]
         var = s + params["noise"] - (S * S).sum(axis=-1)
         var = jnp.maximum(var, 1e-8)
         return mean, var
+
+    def predict(self, raw: dict, x: jax.Array, y: jax.Array, x_test: jax.Array, key: jax.Array):
+        """Posterior mean and variance (with observation noise) at x_test.
+
+        Convenience wrapper: build the posterior cache, predict once.  Eval
+        loops that predict at several test blocks (val + test) should call
+        :meth:`posterior_cache` once and :meth:`predict_from_cache` per
+        block (experiments/common.py does).
+        """
+        cache = self.posterior_cache(raw, x, y, key)
+        return self.predict_from_cache(cache, x, x_test)
 
 
 @dataclasses.dataclass(frozen=True)
