@@ -81,6 +81,16 @@ def main():
     p.add_argument("--root-rank", type=int, default=0, help="LOVE root rank override (0 = lanc-iter)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--tag", default="", help="suffix for the output file")
+    p.add_argument(
+        "--prune-thresh", type=float, default=0.0,
+        help="ARD dimension screening for lattice INFERENCE: drop input dims "
+        "whose inverse lengthscale is below this fraction of the max "
+        "(0 disables).  A dim with lengthscale L contributes <= (dx/L)^2 "
+        "to scaled distances -- negligible for the near-irrelevant dims ARD "
+        "identifies -- while every embedded dim degrades the permutohedral "
+        "approximation (the reference's own rel-err tables worsen with d: "
+        "protein d=9 0.506, BASELINE.md:22).  Screening trades a tiny exact-"
+        "kernel perturbation for a large lattice-accuracy gain.")
     args = p.parse_args()
 
     if args.cpu:
@@ -143,6 +153,18 @@ def main():
         cache = simplex.posterior_cache(raw, x, y, key, root_rank=root_rank)
         return simplex.predict_from_cache(cache, x, x_eval)
 
+    def pruned_predict(raw_p, x_eval):
+        """Lattice inference with ARD-screened dims (see --prune-thresh)."""
+        import dataclasses
+
+        inv_ell = np.asarray(simplex.constrained(raw_p)["inv_ell"])
+        keep = np.where(inv_ell >= args.prune_thresh * inv_ell.max())[0]
+        sub = dataclasses.replace(simplex, num_dims=len(keep))
+        raw_sub = dict(raw_p)
+        raw_sub["raw_lengthscale"] = jnp.asarray(raw_p["raw_lengthscale"])[keep]
+        cache = sub.posterior_cache(raw_sub, x[:, keep], y, key, root_rank=root_rank)
+        return sub.predict_from_cache(cache, x[:, keep], x_eval[:, keep]), len(keep)
+
     combos = {
         "dense_params/dense_inf": lambda xe: dense.predict(raw_d, x, y, xe),
         "dense_params/lattice_inf": lambda xe: lattice_predict(raw_d, xe),
@@ -155,6 +177,15 @@ def main():
         emit({"combo": name,
               **{f"val/{k}": v for k, v in regression_metrics(vm, vv, yv).items()},
               **{f"test/{k}": v for k, v in regression_metrics(tm, tv, yt).items()}})
+
+    if args.prune_thresh > 0:
+        for label, raw_p in [("dense_params", raw_d), ("simplex_params", raw_s)]:
+            (vm, vv), d_eff = pruned_predict(raw_p, xv)
+            (tm, tv), _ = pruned_predict(raw_p, xt)
+            emit({"combo": f"{label}/pruned_lattice_inf", "d_eff": d_eff,
+                  "prune_thresh": args.prune_thresh,
+                  **{f"val/{k}": v for k, v in regression_metrics(vm, vv, yv).items()},
+                  **{f"test/{k}": v for k, v in regression_metrics(tm, tv, yt).items()}})
 
     # Discretization terms at the DENSE-trained params: NLML gap and MVM
     # relative error of the lattice operator vs the exact kernel.
