@@ -11,7 +11,9 @@ the reference rebuilds its hash table every MVM.  The amortized apply-only
 time (our CG iteration cost, where the plan is reused) is reported inside the
 metric line's auxiliary fields, along with the apply time for a batch of 8
 right-hand sides (the shape the BBMM engine actually runs: probes + y solve
-together, and one TPU sort pass serves 8 f32 columns for the price of ~1).
+together; the sort passes amortize well over columns -- measured ~2.7x cost
+for 8x the columns, BENCH_r03.json -- though not for free, since chain
+transition sorts carry every value column as a sort operand).
 
 Methodology (simplex_gp_tpu/utils/timing.py): ``jax.block_until_ready``
 returns early on the tunneled TPU runtime, so timings sync via a
