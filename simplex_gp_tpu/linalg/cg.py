@@ -28,6 +28,16 @@ class CGResult(NamedTuple):
     x: jax.Array  # (n, t) best-residual iterate per column
     iterations: jax.Array  # () int32, iterations actually run
     residual_norm: jax.Array  # (t,) best relative residual norms
+    # CG-tridiagonalization record (present when tridiag_m > 0): the Lanczos
+    # tridiagonal of the (preconditioned) operator with starting vector
+    # b-hat/|b-hat| per column, recovered from the CG step/conjugacy
+    # coefficients.  tmask[k, j] marks iteration k of column j as live
+    # (pre-convergence); dead steps carry (alpha=1, beta=0), which pads T
+    # with a decoupled identity block that contributes nothing to the
+    # quadrature.
+    alphas: Optional[jax.Array] = None  # (m, t) step sizes rz/pAp
+    betas: Optional[jax.Array] = None  # (m, t) conjugacy coefficients rz'/rz
+    tmask: Optional[jax.Array] = None  # (m, t) bool live-step mask
 
 
 def cg_solve(
@@ -38,6 +48,8 @@ def cg_solve(
     precond: Optional[Callable[[jax.Array], jax.Array]] = None,
     axis_name: Optional[str] = None,
     min_iters: int = 10,
+    tridiag_m: int = 0,
+    stop_mode: str = "mean",
 ) -> CGResult:
     """Solve ``A x = b`` for an SPD implicit operator, all columns at once.
 
@@ -61,6 +73,26 @@ def cg_solve(
         stop after a single iteration and train on near-garbage solves.
         Parity requires the same floor; ``min(min_iters, max_iters)`` is
         used so tiny explicit budgets still work.
+      stop_mode: "mean" (default, GPyTorch-parity): stop the WHOLE solve
+        when the mean relative residual over columns drops below ``tol``
+        (linear_cg's ``residual_norm.mean() < tolerance`` break); a column
+        only freezes individually once essentially exact (res < 1e-10,
+        linear_cg's ``stop_updating_after``).  At the reference's training
+        tolerance of 1.0 this stops at the 10-iteration floor nearly always
+        -- uniform epoch cost and a CONSISTENT (same-truncation) NLML
+        estimate even when some column of the indefinite lattice operator
+        refuses to converge; per-column stopping instead alternates between
+        ~10-iteration and max-iteration epochs, which is the late-epoch
+        MLL bimodality of the r3 elevators run.  "column": stop each column
+        at its own tolerance (stricter; used by tests that assert
+        per-column convergence behavior).
+      tridiag_m: when > 0, also record the first ``tridiag_m`` CG step/
+        conjugacy coefficients per column (GPyTorch linear_cg's
+        ``n_tridiag`` path): the Lanczos tridiagonal of the preconditioned
+        operator is T[k,k] = 1/alpha_k + beta_{k-1}/alpha_{k-1},
+        T[k,k+1] = sqrt(beta_k)/alpha_k, which is what SLQ log-det
+        quadrature needs -- with NO Lanczos basis storage (the (m, n, p)
+        basis of linalg/lanczos.py is the houseelectric-scale OOM).
 
     Returns:
       CGResult with the solution block and diagnostics.
@@ -85,11 +117,11 @@ def cg_solve(
     floor = min(min_iters, max_iters)
 
     def cond(state):
-        _, _, _, _, _, it, done, _, _ = state
+        it, done = state[5], state[6]
         return (it < max_iters) & ~jnp.all(done)
 
     def body(state):
-        x, r, p, z, rz, it, done, x_best, res_best = state
+        x, r, p, z, rz, it, done, x_best, res_best = state[:9]
         ap = matmul(p)
         pap = dot(p, ap)
         # Guard converged / degenerate columns against 0/0.
@@ -114,8 +146,30 @@ def cg_solve(
         res_best = jnp.minimum(res, res_best)
         # GPyTorch-parity iteration floor: the tolerance may not stop a
         # column before `floor` iterations have run (see docstring).
-        done = done | ((res < tol) & (it + 1 >= floor))
-        return x, r, p, z, rz_new, it + 1, done, x_best, res_best
+        if stop_mode == "mean":
+            # res is already a global quantity when sharded (dots psum), so
+            # the column mean is shard-identical and control flow stays in
+            # sync across the mesh.
+            stop_all = (res.mean() < tol) & (it + 1 >= floor)
+            new_done = done | stop_all | (res < 1e-10)
+        else:
+            new_done = done | ((res < tol) & (it + 1 >= floor))
+        out = (x, r, p, z, rz_new, it + 1, new_done, x_best, res_best)
+        if tridiag_m:
+            A, B, TM, t_alive = state[9:]
+            # A step is a valid Lanczos step only while the column has never
+            # converged or broken down (pap <= 0: the operator looked
+            # indefinite along p; rz <= 0: preconditioner breakdown) -- once
+            # either happens the CG<->Lanczos correspondence is void for
+            # that column, permanently.
+            ok = t_alive & ~done & (pap > 0) & (rz > 0)
+            rec = ok & (it < tridiag_m)
+            k = jnp.minimum(it, tridiag_m - 1)
+            A = A.at[k].set(jnp.where(rec, alpha, A[k]))
+            B = B.at[k].set(jnp.where(rec, beta, B[k]))
+            TM = TM.at[k].set(jnp.where(rec, True, TM[k]))
+            out = out + (A, B, TM, ok)
+        return out
 
     res0 = jnp.sqrt(dot(r0, r0)) / b_norm
     # Never mark a column converged at iteration ZERO.  res0 is
@@ -131,5 +185,19 @@ def cg_solve(
     # SPD operator, so start every column live.
     done0 = jnp.zeros(res0.shape, bool)
     state = (x0, r0, p0, z0, rz0, jnp.int32(0), done0, x0, res0)
-    _, _, _, _, _, it, _, x_best, res_best = jax.lax.while_loop(cond, body, state)
+    if tridiag_m:
+        t = b.shape[-1]
+        state = state + (
+            jnp.ones((tridiag_m, t), jnp.float32),
+            jnp.zeros((tridiag_m, t), jnp.float32),
+            jnp.zeros((tridiag_m, t), bool),
+            jnp.ones((t,), bool),
+        )
+    final = jax.lax.while_loop(cond, body, state)
+    it, x_best, res_best = final[5], final[7], final[8]
+    if tridiag_m:
+        return CGResult(
+            x=x_best, iterations=it, residual_norm=res_best,
+            alphas=final[9], betas=final[10], tmask=final[11],
+        )
     return CGResult(x=x_best, iterations=it, residual_norm=res_best)

@@ -136,6 +136,51 @@ def slq_logdet(
     return (z_norm2 * quad).mean()
 
 
+def logdet_from_cg_tridiag(
+    alphas: jax.Array,
+    betas: jax.Array,
+    tmask: jax.Array,
+    z_norm2: jax.Array,
+) -> jax.Array:
+    """SLQ log-det estimate from CG's recorded tridiag coefficients.
+
+    Args:
+      alphas, betas, tmask: (m, p) records from ``cg_solve(...,
+        tridiag_m=m)`` for the PROBE columns (drop the y column first).
+        The Lanczos tridiagonal of the operator CG ran on (the symmetrically
+        preconditioned operator, when preconditioned) is
+        T[k,k] = 1/alpha_k + beta_{k-1}/alpha_{k-1}, T[k,k+1] =
+        sqrt(beta_k)/alpha_k; dead steps (tmask False) truncate T into a
+        decoupled identity pad whose quadrature weight is zero.
+      z_norm2: (p,) squared norms of the isotropic starting vectors z (for
+        Rademacher probes, exactly n).  When preconditioned, the CG
+        right-hand sides are P^{1/2} z, so the implicit starting vectors of
+        the preconditioned system are z themselves.
+
+    Returns the scalar estimate of log|A-hat|; add log|P| for log|K_hat|.
+    This is GPyTorch's inv_quad_logdet quadrature
+    (lazy_tensor._solve + linear_cg n_tridiag path) -- memory O(m p), no
+    Lanczos basis, no second operator pass.
+    """
+    m, p = alphas.shape
+    live = tmask
+    live_next = jnp.concatenate([tmask[1:], jnp.zeros((1, p), bool)], axis=0)
+    safe_a = jnp.where(live, alphas, 1.0)
+    inv_a = 1.0 / safe_a
+    b_over_a = jnp.where(live, betas, 0.0) * inv_a
+    prev_ba = jnp.concatenate([jnp.zeros((1, p), jnp.float32), b_over_a[:-1]], axis=0)
+    diag = jnp.where(live, inv_a + prev_ba, 1.0)  # (m, p)
+    off = jnp.where(
+        live & live_next, jnp.sqrt(jnp.maximum(betas, 0.0)) * inv_a, 0.0
+    )[:-1]  # (m-1, p)
+    T = tridiag_matrices(diag.T, off.T)  # (p, m, m)
+    evals, evecs = jnp.linalg.eigh(T)
+    evals = jnp.maximum(evals, 1e-10)
+    w = evecs[:, 0, :] ** 2
+    quad = (w * jnp.log(evals)).sum(axis=-1)  # (p,)
+    return (z_norm2 * quad).mean()
+
+
 def lanczos_root(
     matmul: Callable[[jax.Array], jax.Array],
     z: jax.Array,

@@ -32,12 +32,13 @@ from ..ops.filter import lattice_filter, lattice_filter_exact_grad
 from ..ops.kernels import DiscretizedKernel, kernel_value_jnp
 from ..ops.lattice import apply_plan, build_plan
 from .cg import cg_solve
-from .lanczos import slq_logdet
+from .lanczos import logdet_from_cg_tridiag, slq_logdet
 from .pivoted_cholesky import (
     make_preconditioner,
     pivoted_cholesky_features,
     precond_inv_sqrt,
     precond_solve,
+    precond_sqrt,
 )
 
 __all__ = ["BBMMConfig", "lattice_inv_quad_logdet", "lattice_nlml"]
@@ -74,6 +75,14 @@ class BBMMConfig:
     # reference-parity derivative-coefficient filter (bilateral_kernel.py
     # :112-123).
     grad_mode: str = "exact"
+    # Log-det estimator.  "cg" (default, GPyTorch-parity): recover the SLQ
+    # tridiagonals from the SAME preconditioned-CG pass that produces the
+    # solves (linear_cg's n_tridiag path) -- no Lanczos basis is ever
+    # materialized (the explicit (m, n, p) basis is ~8 GB at houseelectric
+    # scale and doubles the MVM count).  "lanczos": the explicit
+    # reorthogonalized-Lanczos path (linalg/lanczos.py), kept for
+    # cross-checks and for callers that need the basis.
+    slq_mode: str = "cg"
 
 
 def _khat_matmul_diff(params, x, dk: DiscretizedKernel, V, grad_mode: str, axis_name=None):
@@ -155,6 +164,39 @@ def _solve_system(dk, config, params, x, y, probes):
     if P is not None:
         precond = lambda V: precond_solve(P, V, config.axis_name)
 
+    m = min(config.max_lanczos_iterations, n_global)
+    if config.slq_mode == "cg":
+        # GPyTorch-parity single-pass engine: probe right-hand sides are
+        # drawn from the preconditioner distribution (b = P^{1/2} z, so the
+        # implicit starting vectors of the preconditioned system are the
+        # isotropic z), ONE preconditioned CG over [y | b] produces all
+        # solves AND the SLQ tridiagonals, and
+        # log|K_hat| = log|P| + quadrature.
+        b_probes = probes if P is None else precond_sqrt(P, probes, config.axis_name)
+        rhs = jnp.concatenate([y[:, None], b_probes], axis=-1)
+        res = cg_solve(
+            mv,
+            rhs,
+            tol=config.cg_tolerance,
+            max_iters=config.max_cg_iterations,
+            precond=precond,
+            axis_name=config.axis_name,
+            tridiag_m=min(m, config.max_cg_iterations),
+        )
+        z_norm2 = (probes * probes).sum(axis=0)
+        if config.axis_name is not None:
+            z_norm2 = jax.lax.psum(z_norm2, config.axis_name)
+        logdet = logdet_from_cg_tridiag(
+            res.alphas[:, 1:], res.betas[:, 1:], res.tmask[:, 1:], z_norm2
+        )
+        if P is not None:
+            logdet = logdet + P.logdet
+        # Right vectors for the Hutchinson trace backward: E[(P^{-1}b) b^T]
+        # = I makes (K_hat^{-1}b)^T dK_hat (P^{-1}b) unbiased for
+        # tr(K_hat^{-1} dK_hat).
+        probes_right = probes if P is None else precond_solve(P, b_probes, config.axis_name)
+        return res.x, logdet, probes_right
+
     rhs = jnp.concatenate([y[:, None], probes], axis=-1)
     res = cg_solve(
         mv,
@@ -164,7 +206,6 @@ def _solve_system(dk, config, params, x, y, probes):
         precond=precond,
         axis_name=config.axis_name,
     )
-    m = min(config.max_lanczos_iterations, n_global)
     if P is None:
         logdet = slq_logdet(mv, probes, m, axis_name=config.axis_name)
     else:
@@ -177,16 +218,16 @@ def _solve_system(dk, config, params, x, y, probes):
             return precond_inv_sqrt(P, mv(half), config.axis_name)
 
         logdet = P.logdet + slq_logdet(mv_pre, probes, m, axis_name=config.axis_name)
-    return res.x, logdet
+    return res.x, logdet, probes
 
 
 def _iql_fwd(dk, config, params, x, y, probes):
-    solves, logdet = _solve_system(dk, config, params, x, y, probes)
+    solves, logdet, probes_right = _solve_system(dk, config, params, x, y, probes)
     alpha = solves[:, 0]
     inv_quad = (y * alpha).sum()
     if config.axis_name is not None:
         inv_quad = jax.lax.psum(inv_quad, config.axis_name)
-    residuals = (params, x, y, probes, alpha, solves[:, 1:])
+    residuals = (params, x, y, probes_right, alpha, solves[:, 1:])
     return (inv_quad, logdet), residuals
 
 

@@ -225,6 +225,23 @@ def precond_inv_sqrt(
     return V * jax.lax.rsqrt(P.noise) + P.U @ (w[:, None] * _ut_v(P, V, axis_name))
 
 
+def precond_sqrt(
+    P: Preconditioner, V: jax.Array, axis_name: Optional[str] = None
+) -> jax.Array:
+    """P^{1/2} V: O(n k t).
+
+    P^{1/2} = noise^{1/2} I + U (sqrt(noise+s2) - sqrt(noise)) U^T.  Used to
+    draw SLQ probe right-hand sides b = P^{1/2} z from isotropic z, so the
+    CG-tridiag quadrature (cg_solve's ``tridiag_m``) estimates
+    log|P^{-1/2} K_hat P^{-1/2}| with an exactly-known starting-vector
+    weight ||P^{-1/2} b||^2 = ||z||^2 (GPyTorch draws its probes from the
+    preconditioner distribution for the same reason,
+    added_diag_lazy_tensor._probe_vectors).
+    """
+    w = jnp.sqrt(P.noise + P.s2) - jnp.sqrt(P.noise)
+    return V * jnp.sqrt(P.noise) + P.U @ (w[:, None] * _ut_v(P, V, axis_name))
+
+
 def woodbury_solve(L: jax.Array, noise: jax.Array, V: jax.Array) -> jax.Array:
     """(L L^T + noise I)^{-1} V via Woodbury, O(n k^2 + n k t)."""
     k = L.shape[1]

@@ -72,6 +72,31 @@ _FUSED_JOIN_MAX_ROWS = 64 * 1024 * 1024
 # time (lax.map) to bound peak HBM.
 _FUSED_BUILD_MAX_ROWS = 32 * 1024 * 1024
 
+# Leader compaction strategy switch.  When the trimmed table capacity Mc is
+# both small in absolute terms and a small fraction of the contribution count
+# M, the full-M "pull group leaders to the front" sort (5 int32 operands over
+# every contribution row) is replaced by a binary search: the g-th leader sits
+# at searchsorted(seg_sorted, g) because seg_sorted is non-decreasing, so Mc
+# log2(M) gathered rows replace a full bitonic pass over 5*M rows.  At the
+# precipitation geometry (Mc = 8k of M = 2.5M) that is ~200x less traffic;
+# at moderate occupancy (houseelectric, Mc/M ~ 0.24) the latency-bound
+# gathers lose to the bandwidth-bound sort, hence both gates.
+_COMPACT_SEARCH_MAX_MC = 128 * 1024
+_COMPACT_SEARCH_MIN_RATIO = 8
+
+
+def _leader_positions(seg_sorted: jax.Array, Mc: int, M: int) -> jax.Array:
+    """Positions of the first row of each of the first ``Mc`` segments.
+
+    ``seg_sorted`` must be non-decreasing (cumsum of group-leader flags).
+    Entries for segments beyond the last live one come back as M (the
+    insertion point past the end), matching the sort-based compaction's
+    convention that dead rows carry no usable position; callers clamp
+    before gathering.
+    """
+    g = jnp.arange(Mc, dtype=seg_sorted.dtype)
+    return jnp.searchsorted(seg_sorted, g, side="left").astype(jnp.int32)
+
 
 def SLICE_NORM(d: int) -> float:
     """Slice normalization constant 1/(1 + 2^-d) (permutohedral.h:507)."""
@@ -705,15 +730,22 @@ def _chain_core(h1: jax.Array, h2: jax.Array, s: jax.Array, d: int, order: int, 
     # Per-contribution destination (and compact segment id) in input order.
     _, dest, seg_orig = jax.lax.sort((I, iota, seg_sorted), num_keys=1)
 
-    # ONE compaction sort yields the unique-point table (group-first rows,
+    # ONE compaction pass yields the unique-point table (group-first rows,
     # in axis-0 chain order) AND, via the group-first *positions*, the
     # cumulative contribution counts: group g's contributions end where
     # group g+1 starts, so cnt[g] = u_pos[g+1] (and M for the last live
-    # group and all padding rows).
-    _, u_pos, u_c1, u_h2, u_k0 = jax.lax.sort(
-        (jnp.where(newgrp, seg_sorted, M + iota), iota, C1, H2, K0), num_keys=1
-    )
-    u_pos, u_c1, u_h2, u_k0 = u_pos[:Mc], u_c1[:Mc], u_h2[:Mc], u_k0[:Mc]
+    # group and all padding rows).  Heavily trimmed tables use the binary-
+    # search compaction (see _leader_positions); otherwise a full-M sort
+    # pulls the leaders to the front.
+    if Mc <= _COMPACT_SEARCH_MAX_MC and M >= _COMPACT_SEARCH_MIN_RATIO * Mc:
+        u_pos = _leader_positions(seg_sorted, Mc, M)
+        at = jnp.minimum(u_pos, M - 1)
+        u_c1, u_h2, u_k0 = C1[at], H2[at], K0[at]
+    else:
+        _, u_pos, u_c1, u_h2, u_k0 = jax.lax.sort(
+            (jnp.where(newgrp, seg_sorted, M + iota), iota, C1, H2, K0), num_keys=1
+        )
+        u_pos, u_c1, u_h2, u_k0 = u_pos[:Mc], u_c1[:Mc], u_h2[:Mc], u_k0[:Mc]
     u_pos_next = jnp.concatenate([u_pos[1:], jnp.full((1,), M, jnp.int32)])
     cnt = jnp.where(iota_c + 1 < n_lattice, u_pos_next, M).astype(jnp.int32)
 
@@ -1077,10 +1109,16 @@ def filter_fused(
 
     # Compact group leaders into the (trimmed) table; cnt = cumulative
     # contribution counts per row (group g ends where group g+1 starts).
-    _, u_pos, u_c1, u_c2, u_s = jax.lax.sort(
-        (jnp.where(newgrp, seg_sorted, M + iota), iota, C1, C2, S), num_keys=1
-    )
-    u_pos, u_c1, u_c2, u_s = u_pos[:Mc], u_c1[:Mc], u_c2[:Mc], u_s[:Mc]
+    # Binary-search compaction when heavily trimmed (see _leader_positions).
+    if Mc <= _COMPACT_SEARCH_MAX_MC and M >= _COMPACT_SEARCH_MIN_RATIO * Mc:
+        u_pos = _leader_positions(seg_sorted, Mc, M)
+        at = jnp.minimum(u_pos, M - 1)
+        u_c1, u_c2, u_s = C1[at], C2[at], S[at]
+    else:
+        _, u_pos, u_c1, u_c2, u_s = jax.lax.sort(
+            (jnp.where(newgrp, seg_sorted, M + iota), iota, C1, C2, S), num_keys=1
+        )
+        u_pos, u_c1, u_c2, u_s = u_pos[:Mc], u_c1[:Mc], u_c2[:Mc], u_s[:Mc]
     iota_c = jnp.arange(Mc, dtype=jnp.int32)
     live = iota_c < n_lattice
     u_c1 = jnp.where(live, u_c1, _INT32_MAX)

@@ -165,6 +165,42 @@ def test_capacity_trim_exact_and_overflow_guard():
     assert np.isnan(out_under).all()
 
 
+def test_searchsorted_compaction_matches_sort_path():
+    """The binary-search leader compaction (used when the trimmed capacity is
+    a small fraction of the contribution count -- the precipitation regime)
+    must agree with the full-M compaction sort in both the plan build and the
+    fused one-shot filter."""
+    dk = kernels.rbf_kernel(1)
+    rng = np.random.default_rng(11)
+    # Low-occupancy geometry: many points share few lattice cells.
+    base = rng.normal(size=(60, 3)).astype(np.float32)
+    x = jnp.asarray(base[rng.integers(0, 60, size=4096)] + 1e-3 * rng.normal(size=(4096, 3)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(4096, 2)).astype(np.float32))
+
+    full = lattice.build_plan_chain(x, dk.coeffs, dk.variance)  # sort path (Mc == M)
+    n_lat = int(full.n_lattice)
+    cap = -(-int(n_lat * 1.25) // 128) * 128
+    M = x.shape[0] * (x.shape[1] + 1)
+    assert cap <= lattice._COMPACT_SEARCH_MAX_MC and M >= lattice._COMPACT_SEARCH_MIN_RATIO * cap, (
+        "test geometry no longer triggers the searchsorted compaction path"
+    )
+    trimmed = lattice.build_plan_chain(x, dk.coeffs, dk.variance, capacity=cap)
+    assert int(trimmed.n_lattice) == n_lat
+    out_full = np.asarray(lattice.apply_plan_chain(full, v, dk.coeffs))
+    out_trim = np.asarray(lattice.apply_plan_chain(trimmed, v, dk.coeffs))
+    np.testing.assert_allclose(out_trim, out_full, rtol=1e-6, atol=1e-6)
+
+    fused = np.asarray(lattice.filter_fused(v, x, dk.coeffs, dk.variance, capacity=cap))
+    np.testing.assert_allclose(fused, out_full, rtol=1e-5, atol=1e-6)
+
+    # Undersized capacity must still poison with NaN through the search path.
+    if n_lat >= 2:
+        under = np.asarray(
+            lattice.filter_fused(v, x, dk.coeffs, dk.variance, capacity=max(8, n_lat // 2))
+        )
+        assert np.isnan(under).all()
+
+
 @pytest.mark.parametrize(
     "n,d,order,c",
     [(300, 3, 1, 1), (257, 5, 2, 3), (64, 17, 1, 2), (200, 1, 1, 1)],

@@ -232,3 +232,80 @@ def test_cg_always_takes_one_iteration_at_loose_tol():
     # Every nonzero column must have made progress: nonzero solve, res < 1.
     assert (np.linalg.norm(x, axis=0) > 0).all()
     assert (np.asarray(res.residual_norm) < 1.0).all()
+
+
+def test_cg_tridiag_logdet_matches_dense():
+    """CG-tridiag SLQ (the single-pass GPyTorch-parity log-det engine) vs
+    dense slogdet, unpreconditioned and preconditioned (probes drawn as
+    P^{1/2} z, estimate + log|P|)."""
+    from simplex_gp_tpu.linalg import (
+        logdet_from_cg_tridiag,
+        make_preconditioner,
+        precond_solve,
+    )
+    from simplex_gp_tpu.linalg.pivoted_cholesky import precond_sqrt
+
+    n, p, m = 200, 48, 60
+    A = jnp.asarray(_spd(n, 7, cond=200.0), jnp.float32)
+    truth = np.linalg.slogdet(np.asarray(A, np.float64))[1]
+    rng = np.random.default_rng(13)
+    z = jnp.asarray(rng.choice([-1.0, 1.0], size=(n, p)), jnp.float32)
+    z_norm2 = (z * z).sum(axis=0)
+
+    res = cg_solve(lambda v: A @ v, z, tol=1e-8, max_iters=m, tridiag_m=m)
+    est = float(logdet_from_cg_tridiag(res.alphas, res.betas, res.tmask, z_norm2))
+    assert abs(est - truth) / abs(truth) < 0.05, (est, truth)
+
+    # Preconditioned: P from a low-rank sketch of A plus the identity floor.
+    L = jnp.asarray(np.linalg.cholesky(np.asarray(A))[:, :12], jnp.float32)
+    P = make_preconditioner(L, jnp.float32(1.0), n_global=n)
+    b = precond_sqrt(P, z)
+    res_p = cg_solve(
+        lambda v: A @ v, b, tol=1e-8, max_iters=m,
+        precond=lambda v: precond_solve(P, v), tridiag_m=m,
+    )
+    est_p = float(
+        logdet_from_cg_tridiag(res_p.alphas, res_p.betas, res_p.tmask, z_norm2)
+    ) + float(P.logdet)
+    assert abs(est_p - truth) / abs(truth) < 0.05, (est_p, truth)
+
+
+def test_cg_tridiag_truncation_on_early_convergence():
+    """Columns that converge before tridiag_m must yield a TRUNCATED T
+    (identity pad contributing zero), not garbage coefficients."""
+    from simplex_gp_tpu.linalg import logdet_from_cg_tridiag
+
+    n, p = 96, 16
+    A = jnp.asarray(_spd(n, 9, cond=5.0), jnp.float32)  # easy: converges fast
+    rng = np.random.default_rng(17)
+    z = jnp.asarray(rng.choice([-1.0, 1.0], size=(n, p)), jnp.float32)
+    res = cg_solve(lambda v: A @ v, z, tol=1e-6, max_iters=80, tridiag_m=80)
+    assert bool(res.tmask.any()) and not bool(res.tmask.all())
+    est = float(logdet_from_cg_tridiag(res.alphas, res.betas, res.tmask, (z * z).sum(0)))
+    truth = np.linalg.slogdet(np.asarray(A, np.float64))[1]
+    assert np.isfinite(est)
+    assert abs(est - truth) / abs(truth) < 0.05, (est, truth)
+
+
+def test_cg_mean_stop_uniform_cost_on_indefinite_operator():
+    """GPyTorch-parity stopping: at the training tolerance the solve stops on
+    the MEAN residual at the iteration floor even when one column of an
+    indefinite operator never converges -- per-column mode instead runs to
+    max_iters.  (The lattice operator picks up negative eigenvalues at long
+    lengthscales; alternating 10-vs-500-iteration epochs was the r3
+    late-epoch MLL bimodality.)"""
+    rng = np.random.default_rng(3)
+    n = 128
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    evals = np.geomspace(1.0, 50.0, n)
+    evals[0] = -0.5  # indefinite: CG on this direction diverges
+    A = jnp.asarray((Q * evals) @ Q.T, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    mv = lambda V: A @ V
+
+    mean_res = cg_solve(mv, b, tol=1.0, max_iters=400, stop_mode="mean")
+    assert int(mean_res.iterations) == 10, int(mean_res.iterations)
+    # Best-iterate fallback keeps the mean-mode answer finite and no worse
+    # than the zero iterate.
+    assert np.isfinite(np.asarray(mean_res.x)).all()
+    assert (np.asarray(mean_res.residual_norm) <= 1.0 + 1e-6).all()

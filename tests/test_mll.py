@@ -137,3 +137,44 @@ def test_nlml_trainable_end_to_end():
         raw = jax.tree.map(lambda p, gg: p - lr * gg, raw, g)
     last = float(loss_fn(raw))
     assert last < first - 0.05, (first, last)
+
+
+def test_slq_mode_cg_matches_lanczos_and_dense():
+    """The single-pass CG-tridiag log-det engine (slq_mode='cg', the default)
+    and the explicit reorthogonalized-Lanczos engine (slq_mode='lanczos')
+    must agree with each other and with dense ground truth on the same
+    probes -- values and gradient directions."""
+    x, y = _data(n=150)
+    params = _params(1)
+    dk = K.rbf_kernel(2)
+    kw = dict(cg_tolerance=1e-4, max_cg_iterations=300, max_lanczos_iterations=60, num_probes=24)
+    probes = _probes(x.shape[0], 24)
+
+    vals, grads = {}, {}
+    for mode in ("cg", "lanczos"):
+        cfg = BBMMConfig(slq_mode=mode, **kw)
+        f = lambda p: lattice_nlml(dk, cfg, p, x, y, probes)
+        v, g = jax.value_and_grad(f)(params)
+        vals[mode], grads[mode] = float(v), g
+    dense_v, dense_g = jax.value_and_grad(lambda p: _dense_nlml(p, x, y))(params)
+
+    assert abs(vals["cg"] - vals["lanczos"]) < 0.05, vals
+    assert abs(vals["cg"] - float(dense_v)) < 0.1, (vals["cg"], float(dense_v))
+    # The two stochastic engines must agree in gradient direction on every
+    # parameter (they share probes).  Dense agreement is only asserted for
+    # the noise/mean gradients: outputscale/lengthscale grads are small
+    # differences of large terms, where the lattice operator's few-percent
+    # MVM error moves BOTH engines identically away from dense (the
+    # established standard of test_nlml_noise_mean_grads_match_dense).
+    for k in ("inv_ell", "outputscale", "noise", "mean"):
+        a = np.ravel(np.asarray(grads["cg"][k], np.float64))
+        b = np.ravel(np.asarray(grads["lanczos"][k], np.float64))
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.9, (k, cos, a, b)
+    for k in ("noise", "mean"):
+        a = np.ravel(np.asarray(grads["cg"][k], np.float64))
+        b = np.ravel(np.asarray(dense_g[k], np.float64))
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.95, (k, cos, a, b)
+    # noise grad is large-magnitude: assert closeness, not just direction.
+    assert abs(float(grads["cg"]["noise"]) - float(dense_g["noise"])) / abs(float(dense_g["noise"])) < 0.2
