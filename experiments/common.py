@@ -61,6 +61,14 @@ def add_common_args(p: argparse.ArgumentParser):
         "runs at scales where the eval path would dominate wall-clock)",
     )
     p.add_argument(
+        "--host-loop",
+        action="store_true",
+        help="run the CG loop on the host over one jitted iteration instead "
+        "of a single fused while-loop graph (required at houseelectric "
+        "scale, where the fused graph exceeds what the TPU compile stack "
+        "reliably handles; see linalg/host_loop.py)",
+    )
+    p.add_argument(
         "--resume",
         action="store_true",
         help="resume from the run directory's checkpoint.pkl (params, "
@@ -123,11 +131,18 @@ def run_training(model, raw, ds, args, name: str):
     opt = optax.adam(args.lr)
     opt_state = opt.init(raw)
 
-    @jax.jit
-    def step(raw, opt_state, key):
-        loss, grads = jax.value_and_grad(lambda r: model.nlml(r, x, y, key))(raw)
-        updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(raw, updates), opt_state, loss
+    host_loop = getattr(args, "host_loop", False) and hasattr(model, "nlml_value_and_grad_host")
+    if host_loop:
+        def step(raw, opt_state, key):
+            loss, grads = model.nlml_value_and_grad_host(raw, x, y, key)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(raw, updates), opt_state, loss
+    else:
+        @jax.jit
+        def step(raw, opt_state, key):
+            loss, grads = jax.value_and_grad(lambda r: model.nlml(r, x, y, key))(raw)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(raw, updates), opt_state, loss
 
     stopper = EarlyStopper(patience=args.patience)
     key = jax.random.PRNGKey(args.seed)
@@ -178,7 +193,10 @@ def run_training(model, raw, ds, args, name: str):
     def eval_block(cur_raw, x_eval, k):
         if not has_cache:
             return None, model.predict(cur_raw, x, y, x_eval, k)
-        cache = model.posterior_cache(cur_raw, x, y, k)
+        if host_loop:
+            cache = model.posterior_cache_host(cur_raw, x, y, k)
+        else:
+            cache = model.posterior_cache(cur_raw, x, y, k)
         return cache, model.predict_from_cache(cache, x, x_eval)
 
     stopped = False
@@ -221,7 +239,10 @@ def run_training(model, raw, ds, args, name: str):
             # The best epoch's val cache IS the posterior at best_raw: reuse.
             tm, tv = model.predict_from_cache(best_cache, x, jnp.asarray(ds.test_x))
         elif has_cache:
-            cache = model.posterior_cache(best_raw, x, y, k3)
+            if host_loop:
+                cache = model.posterior_cache_host(best_raw, x, y, k3)
+            else:
+                cache = model.posterior_cache(best_raw, x, y, k3)
             tm, tv = model.predict_from_cache(cache, x, jnp.asarray(ds.test_x))
         else:
             tm, tv = model.predict(best_raw, x, y, jnp.asarray(ds.test_x), k3)

@@ -56,6 +56,28 @@ def main():
     with open(run_dir / args.which, "rb") as f:
         raw = jax.tree.map(jnp.asarray, pickle.load(f))
 
+    plan_capacity = None
+    if args.plan_capacity == -1:
+        import numpy as np
+
+        from simplex_gp_tpu.ops.kernels import matern_kernel, rbf_kernel
+        from simplex_gp_tpu.ops.lattice import count_lattice_points
+
+        dk = rbf_kernel(args.order) if args.kernel == "rbf" else matern_kernel(args.nu, args.order)
+        import jax.numpy as _jnp
+        ell = None
+        # measure at the CHECKPOINT's lengthscales (they drift during training)
+        import pickle as _p
+        with open(pathlib.Path(args.run_dir) / args.which, "rb") as f:
+            _raw = _p.load(f)
+        from simplex_gp_tpu.models.components import constrain
+        inv_ell = constrain({k: _jnp.asarray(v) for k, v in _raw.items()}, args.min_noise)["inv_ell"]
+        occ = int(count_lattice_points(_jnp.asarray(ds.train_x) * inv_ell, dk.variance, dk.coeffs))
+        n_, d_ = ds.train_x.shape
+        plan_capacity = min(-(-int(occ * 1.4) // 8192) * 8192, n_ * (d_ + 1))
+        print(f"plan capacity: occupancy {occ} -> {plan_capacity}", flush=True)
+    elif args.plan_capacity > 0:
+        plan_capacity = args.plan_capacity
     model = SimplexGP(
         num_dims=ds.train_x.shape[-1],
         kernel=args.kernel,
@@ -65,6 +87,7 @@ def main():
         bbmm=BBMMConfig(
             max_cg_iterations=args.cg_iter,
             precond_rank=args.pre_size,
+            plan_capacity=plan_capacity,
         ),
         eval_cg_tolerance=args.eval_cg_tol,
     )
@@ -73,7 +96,10 @@ def main():
     key = jax.random.PRNGKey(args.seed + 555)
 
     t0 = time.perf_counter()
-    cache = model.posterior_cache(raw, x, y, key, root_rank=args.root_rank or None)
+    if getattr(args, "host_loop", False):
+        cache = model.posterior_cache_host(raw, x, y, key, root_rank=args.root_rank or None)
+    else:
+        cache = model.posterior_cache(raw, x, y, key, root_rank=args.root_rank or None)
     jax.block_until_ready(cache["alpha"])
     cache_ts = time.perf_counter() - t0
 

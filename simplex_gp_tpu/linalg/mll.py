@@ -85,7 +85,7 @@ class BBMMConfig:
     slq_mode: str = "cg"
 
 
-def _khat_matmul_diff(params, x, dk: DiscretizedKernel, V, grad_mode: str, axis_name=None):
+def _khat_matmul_diff(params, x, dk: DiscretizedKernel, V, grad_mode: str, axis_name=None, capacity=None):
     """Differentiable K_hat(params) @ V; gradient path per ``grad_mode``."""
     ref = x * params["inv_ell"]
     if axis_name is not None:
@@ -94,9 +94,10 @@ def _khat_matmul_diff(params, x, dk: DiscretizedKernel, V, grad_mode: str, axis_
         from ..parallel.shard_filter import filter_sharded
 
         ky = filter_sharded(V, ref, dk, axis_name)
+    elif grad_mode == "exact":
+        ky = lattice_filter_exact_grad(V, ref, dk, capacity=capacity)
     else:
-        filt = lattice_filter_exact_grad if grad_mode == "exact" else lattice_filter
-        ky = filt(V, ref, dk)
+        ky = lattice_filter(V, ref, dk)
     return params["outputscale"] * ky + params["noise"] * V
 
 

@@ -29,7 +29,7 @@ from ..linalg.mll import BBMMConfig, build_precond, lattice_nlml
 from ..linalg.pivoted_cholesky import precond_solve
 from ..ops.filter import lattice_filter_rect
 from ..ops.kernels import DiscretizedKernel, matern_kernel, rbf_kernel
-from ..ops.lattice import apply_plan, apply_plan_join, build_plan, build_plan_join
+from ..ops.lattice import apply_plan, build_plan
 from .components import constrain, init_raw_params
 
 __all__ = ["SimplexGP", "DenseGP"]
@@ -94,6 +94,67 @@ class SimplexGP:
         probes = _rademacher(key, (x.shape[0], cfg.num_probes))
         return lattice_nlml(self.dk, cfg, self.constrained(raw), x, y, probes)
 
+    def nlml_value_and_grad_host(self, raw: dict, x: jax.Array, y: jax.Array, key: jax.Array):
+        """(loss, grads) via the host-orchestrated engine (linalg/host_loop.py).
+
+        Same algorithm as ``jax.value_and_grad(self.nlml)`` with
+        slq_mode="cg"/stop_mode="mean", but the CG loop runs on the host over
+        one small jitted iteration: at very large n the fused while-loop
+        graph exceeds what the TPU compile stack reliably handles (observed
+        at houseelectric scale), while every piece compiles and runs fine.
+        """
+        import numpy as np
+
+        from ..linalg.host_loop import host_inv_quad_logdet_grads
+
+        cfg = self.bbmm
+        probes = _rademacher(key, (x.shape[0], cfg.num_probes))
+        params, pullback = jax.vjp(lambda r: constrain(r, self.min_noise), raw)
+        n = x.shape[0]
+        yc = y - params["mean"]
+        inv_quad, logdet, alpha, g_params, iters = host_inv_quad_logdet_grads(
+            self.dk, cfg, params, x, yc, probes
+        )
+        loss = 0.5 * (inv_quad + logdet + n * float(jnp.log(2.0 * jnp.pi))) / n
+        scale = 0.5 / n
+        cot = {k: jnp.asarray(v) * scale for k, v in g_params.items()}
+        # d inv_quad / d mean = -2 sum(alpha)  (yc = y - mean).
+        cot["mean"] = jnp.asarray(-2.0 * scale * np.asarray(alpha).sum(), jnp.float32)
+        (grads_raw,) = pullback(cot)
+        return loss, grads_raw
+
+    def posterior_cache_host(self, raw: dict, x: jax.Array, y: jax.Array, key: jax.Array, root_rank: Optional[int] = None):
+        """posterior_cache with the eval CG loop on the host (very large n)."""
+        from ..linalg.host_loop import host_cg_solve
+        from ..ops.filter import _filter_plain
+        from ..ops.lattice import build_plan as _build_plan
+
+        params = self.constrained(raw)
+        ref = x * params["inv_ell"]
+        s, noise = params["outputscale"], params["noise"]
+        plan = _build_plan(ref, self.dk.coeffs, self.dk.variance, capacity=self.bbmm.plan_capacity)
+        P = build_precond(self.dk, self.bbmm, params, ref, x.shape[0])
+        yc = y - params["mean"]
+        xs, res, iters, *_ = host_cg_solve(
+            plan, P, s, noise, self.dk.coeffs, yc[:, None],
+            tol=self.eval_cg_tolerance, max_iters=self.bbmm.max_cg_iterations,
+        )
+        alpha = xs[:, 0]
+
+        n = x.shape[0]
+        m = min(root_rank or self.bbmm.max_lanczos_iterations, n)
+        omega = jax.random.normal(key, (n, m), jnp.float32)
+        mv_wide = jax.jit(
+            lambda V, refv: s * _filter_plain(V, refv, self.dk, capacity=self.bbmm.plan_capacity) + noise * V
+        )
+        Q, _ = jnp.linalg.qr(mv_wide(omega, ref))
+        T = Q.T @ mv_wide(Q, ref)
+        T = 0.5 * (T + T.T)
+        evals, evecs = jnp.linalg.eigh(T)
+        evals = jnp.maximum(evals, 1e-8)
+        root_inv = Q @ (evecs / jnp.sqrt(evals)[None, :])
+        return {"alpha": alpha, "root_inv": root_inv, "params": params}
+
     # ----- prediction -----
 
     def _khat_mv(self, params, plan):
@@ -145,13 +206,14 @@ class SimplexGP:
         n = x.shape[0]
         m = min(root_rank or self.bbmm.max_lanczos_iterations, n)
         omega = jax.random.normal(key, (n, m), jnp.float32)
-        # The sketch MVMs are m ~ 100 columns wide: use the join engine
-        # (column-count-independent gathers) -- the chain plan's transition
-        # sorts would carry all m columns as sort operands (see
-        # ops/filter.py _WIDE_COLS).
+        # The sketch MVMs are m ~ 100 columns wide: the engine dispatch in
+        # ops/filter.py picks the join engine (column-count-independent
+        # gathers) at moderate n and the chunked chain plan at very large n
+        # (the join engine's (rows, m) tables OOM at houseelectric scale).
         s, noise = params["outputscale"], params["noise"]
-        jplan = build_plan_join(ref, self.dk.coeffs, self.dk.variance)
-        mv_wide = lambda V: s * apply_plan_join(jplan, V, self.dk.coeffs) + noise * V
+        from ..ops.filter import _filter_plain
+
+        mv_wide = lambda V: s * _filter_plain(V, ref, self.dk) + noise * V
         Q, _ = jnp.linalg.qr(mv_wide(omega))  # (n, m) orthonormal range sketch
         T = Q.T @ mv_wide(Q)
         T = 0.5 * (T + T.T)

@@ -45,8 +45,41 @@ __all__ = ["lattice_filter", "lattice_filter_exact_grad"]
 # on both compile and run time.
 _WIDE_COLS = 16
 
+# The join engine materializes (table_rows, c) arrays (segment_sum output,
+# blurred table, (n, d+1, c) slice gather); above this many n*(d+1) rows a
+# wide filter instead builds ONE chain plan and lax.maps over 8-column
+# chunks -- bounded memory at any n (the houseelectric eval regime, where
+# a c=100 join table would be ~6-8 GB).
+_JOIN_MAX_ROWS = 4 * 1024 * 1024
+_WIDE_CHUNK = 8
 
-def _filter_plain(src: jax.Array, ref: jax.Array, dk: DiscretizedKernel) -> jax.Array:
+
+def lattice_filter_wide_chunked(
+    src: jax.Array, ref: jax.Array, dk: DiscretizedKernel,
+    capacity: "int | None" = None,
+) -> jax.Array:
+    """K(ref, ref) @ src for wide ``src`` at very large n: chunked chain plan.
+
+    Builds the sort-chain plan once and applies it to ``_WIDE_CHUNK``-column
+    blocks under ``lax.map`` (one traced apply, sequential execution), so
+    peak memory is the plan plus one narrow block -- independent of the
+    total column count.  Differentiable by plain autodiff like the other
+    engines (sorts/gathers contribute no tangent).
+    """
+    n, c = src.shape
+    plan = build_plan(ref, dk.coeffs, dk.variance, capacity=capacity)
+    g = -(-c // _WIDE_CHUNK)
+    pad = g * _WIDE_CHUNK - c
+    v = jnp.concatenate([src, jnp.zeros((n, pad), src.dtype)], axis=1) if pad else src
+    blocks = jnp.moveaxis(v.reshape(n, g, _WIDE_CHUNK), 1, 0)  # (g, n, chunk)
+    out = jax.lax.map(lambda b: apply_plan(plan, b, dk.coeffs), blocks)
+    return jnp.moveaxis(out, 0, 1).reshape(n, g * _WIDE_CHUNK)[:, :c]
+
+
+def _filter_plain(
+    src: jax.Array, ref: jax.Array, dk: DiscretizedKernel,
+    capacity: "int | None" = None,
+) -> jax.Array:
     """One filter application, engine chosen by value width (static).
 
     Narrow values use the fused one-shot engine (ops/lattice.py
@@ -57,14 +90,19 @@ def _filter_plain(src: jax.Array, ref: jax.Array, dk: DiscretizedKernel) -> jax.
     the rectangular prediction MVM; the CG/SLQ forward reuses ONE prebuilt
     plan instead (linalg/mll.py)."""
     if src.shape[-1] > _WIDE_COLS:
+        if src.shape[0] * (ref.shape[-1] + 1) > _JOIN_MAX_ROWS:
+            return lattice_filter_wide_chunked(src, ref, dk, capacity=capacity)
         plan = build_plan_join(ref, dk.coeffs, dk.variance)
         return apply_plan_join(plan, src, dk.coeffs)
     from .lattice import filter_fused
 
-    return filter_fused(src, ref, dk.coeffs, dk.variance)
+    return filter_fused(src, ref, dk.coeffs, dk.variance, capacity=capacity)
 
 
-def lattice_filter_exact_grad(src: jax.Array, ref: jax.Array, dk: DiscretizedKernel) -> jax.Array:
+def lattice_filter_exact_grad(
+    src: jax.Array, ref: jax.Array, dk: DiscretizedKernel,
+    capacity: "int | None" = None,
+) -> jax.Array:
     """K(ref, ref) @ src, differentiable by PLAIN JAX autodiff.
 
     The reference cannot differentiate through its hash-table C++ filter, so
@@ -82,7 +120,7 @@ def lattice_filter_exact_grad(src: jax.Array, ref: jax.Array, dk: DiscretizedKer
     hyperparameter training; ``lattice_filter`` keeps reference-parity
     derivative-filter gradients.
     """
-    return _filter_plain(src, ref, dk)
+    return _filter_plain(src, ref, dk, capacity=capacity)
 
 
 def lattice_filter_rect(

@@ -614,9 +614,15 @@ class ChainPlan(NamedTuple):
       cnt:       (M,) int32        cumulative #contributions per table row
       k1, k2:    (d, M) int32      transition sort keys, axis j -> j+1 order
       tapw:      (d+1, r, M) f32   forward tap weights at sorted offset k
-      slice_idx: (n, d+1) int32    final-order table row per simplex vertex
-      weights:   (n, d+1) float32  barycentric splat/slice weights
+      slice_idx: (n*(d+1),) int32  final-order table row per simplex vertex
+      weights:   (n*(d+1),) f32    barycentric splat/slice weights
       n_lattice: () int32          occupied lattice points (<= M)
+
+    ``slice_idx``/``weights`` are stored FLAT, not (n, d+1): a TPU f32/int32
+    array is tiled (8, 128), so a (big, d+1) array pads its minor dimension
+    from d+1 to 128 lanes -- 10.7x wasted HBM at houseelectric shapes
+    (1.3M x 12 -> 640 MB each), which together with the padded slice-gather
+    temps OOMed the r4 training step.  Flat 1-D arrays tile without padding.
     """
 
     dest: jax.Array
@@ -874,10 +880,19 @@ def build_plan_chain(
 
     h1, h2, s, weights = _geometry_hs(x, E, a)
 
+    # Vertex-major contribution order (vertex j's block of n rows first):
+    # every (n, d+1)-shaped intermediate of the apply becomes (d+1, n) --
+    # minor dim n, no 128-lane tile padding -- and the slice's vertex
+    # reduction becomes d+1 contiguous n-row slices.  Point-major order put
+    # a 10.7x-padded (n, d+1, c) splat broadcast inside the CG while loop:
+    # an 8 GB HLO temp at houseelectric shapes.
+    vm = lambda t: t.reshape(n, dp1).T.reshape(-1)
+    h1, h2, s = vm(h1), vm(h2), vm(s)
     dest, seg_orig, cnt, k1, k2, tapw, rank_d, n_lattice = _chain_core(
         h1, h2, s, d, order, cs, capacity=capacity
     )
-    slice_idx = rank_d[seg_orig].reshape(n, dp1)
+    slice_idx = rank_d[seg_orig]  # flat vertex-major (n*(d+1),)
+    weights = weights.T.reshape(-1)
     return ChainPlan(
         dest=dest,
         cnt=cnt,
@@ -888,6 +903,16 @@ def build_plan_chain(
         weights=weights,
         n_lattice=n_lattice,
     )
+
+
+def _chain_stencil_1d(t: jax.Array, tapw_j: jax.Array, center: float, order: int) -> jax.Array:
+    """1-D column variant of :func:`_chain_stencil` (same math, no lane pad)."""
+    acc = center * t
+    for k in range(1, order + 1):
+        w = tapw_j[k - 1]
+        zk = jnp.zeros((k,), t.dtype)
+        acc = acc + w * jnp.concatenate([t[k:], zk]) + jnp.concatenate([zk, (w * t)[:-k]])
+    return acc
 
 
 def _chain_stencil(tab: jax.Array, tapw_j: jax.Array, center: float, order: int) -> jax.Array:
@@ -933,8 +958,10 @@ def apply_plan_chain(
     derivative-coefficient backward filter) use the join plan, whose gather
     cost is column-count-independent.
     """
-    n, dp1 = plan.weights.shape
+    dp1 = plan.tapw.shape[0]
     d = dp1 - 1
+    Mct = plan.weights.shape[0]  # n*(d+1) contribution rows
+    n = Mct // dp1
     M = plan.cnt.shape[0]  # global table capacity
     order = plan.tapw.shape[1]
     taps = [float(t) for t in np.asarray(coeffs)]
@@ -944,14 +971,31 @@ def apply_plan_chain(
     c_in = v.shape[-1]
     cols = lambda t: tuple(t[:, k] for k in range(t.shape[1]))
 
+    # Layout discipline (TPU tiles f32/int32 as (8, 128)): large arrays are
+    # either 1-D, or keep the HUGE axis minor -- a (big, small) array pads
+    # its minor dim to 128 lanes (10.7x waste at houseelectric shapes), and
+    # XLA materialized exactly such splat-broadcast/gather temps inside the
+    # CG while loop (8 GB).  The plan's per-contribution arrays are
+    # VERTEX-major (see build_plan_chain), so the splat broadcast is
+    # (d+1, n) per column, the table travels as a tuple of 1-D columns, the
+    # slice gather is (c, rows)-oriented, and the vertex reduction is d+1
+    # contiguous n-row slices.
+    W2 = plan.weights.reshape(dp1, n)
+
     # Splat: route (this shard's) contributions into global-table order,
     # segment-sum by cumulative sum + per-row boundary difference.
-    contrib = (v[:, None, :] * plan.weights[:, :, None]).reshape(n * dp1, c_in)
-    sc = jax.lax.sort((plan.dest,) + cols(contrib), num_keys=1)[1:]
-    csum = jnp.cumsum(jnp.stack(sc, axis=-1), axis=0)
-    L = jnp.concatenate([jnp.zeros((1, c_in), jnp.float32), csum], axis=0)[plan.cnt]
-    table = L - jnp.concatenate([jnp.zeros((1, c_in), jnp.float32), L[:-1]], axis=0)
+    contrib_cols = tuple((W2 * v[:, k][None, :]).reshape(Mct) for k in range(c_in))
+    sc = jax.lax.sort((plan.dest,) + contrib_cols, num_keys=1)[1:]
+    zero1 = jnp.zeros((1,), jnp.float32)
+    tcols = []
+    for s in sc:
+        Lk = jnp.concatenate([zero1, jnp.cumsum(s)])[plan.cnt]
+        tcols.append(Lk - jnp.concatenate([zero1, Lk[:-1]]))
+    table = jnp.stack(tcols, axis=-1) if axis_name is not None else tuple(tcols)
     if axis_name is not None:
+        # Sharded path: the column-split blur needs a stacked (M, c) table
+        # for the psum_scatter/all_gather collectives; per-device column
+        # blocks stay narrow, so the lane padding is bounded by P devices.
         psize = jax.lax.axis_size(axis_name)
         c_pad = -(-c_in // psize) * psize
         if c_pad != c_in:
@@ -962,30 +1006,45 @@ def apply_plan_chain(
         table = jax.lax.psum_scatter(
             table, axis_name, scatter_dimension=1, tiled=True
         )  # (M, c_pad / P)
-
-    # Blur: shift stencil per axis, one transition sort between axes
-    # (column-local, so each device blurs only its block when sharded).
-    for j in range(dp1):
-        table = _chain_stencil(table, plan.tapw[j], taps[order], order)
-        if j < d:
-            o = jax.lax.sort((plan.k1[j], plan.k2[j]) + cols(table), num_keys=2)
-            table = jnp.stack(o[2:], axis=-1)
-
-    if axis_name is not None:
+        for j in range(dp1):
+            table = _chain_stencil(table, plan.tapw[j], taps[order], order)
+            if j < d:
+                o = jax.lax.sort((plan.k1[j], plan.k2[j]) + cols(table), num_keys=2)
+                table = jnp.stack(o[2:], axis=-1)
         table = jax.lax.all_gather(
             table, axis_name, axis=1, tiled=True
         )[:, :c_in]  # (M, c_in)
+        tcols = tuple(table[:, k] for k in range(c_in))
+    else:
+        # Blur: shift stencil per axis, one transition sort between axes;
+        # the table stays a TUPLE of 1-D columns throughout (sort operands,
+        # stencil shifts, and the slice gather below are all unpadded).
+        tcols = table
+        for j in range(dp1):
+            tapw_j = plan.tapw[j]
+            tcols = tuple(
+                _chain_stencil_1d(t, tapw_j, taps[order], order) for t in tcols
+            )
+            if j < d:
+                o = jax.lax.sort((plan.k1[j], plan.k2[j]) + tcols, num_keys=2)
+                tcols = o[2:]
 
-    # Slice: replay the splat weights against the final-order table.  The
-    # gather output's MINOR dimension must be the huge flat one (n*(d+1)):
-    # gathering (n*(d+1), c) or (c, n, d+1) makes XLA pad the c- or
-    # (d+1)-wide minor dim to 128 lanes -- a 12.8x-padded 7.5 GB
-    # intermediate at houseelectric scale (c=10 CG block) that OOMed the
-    # training step.  (c, n*(d+1)) pads only the c sublanes (<= 1.6x).
-    flat_idx = plan.slice_idx.reshape(-1)
-    gathered = table.T[:, flat_idx]  # (c, n*(d+1))
-    wflat = plan.weights.reshape(-1)
-    out = (gathered * wflat[None, :]).reshape(-1, n, dp1).sum(-1).T
+    # Slice: replay the splat weights against the final-order table.  ONE
+    # (c, n*dp1) gather -- the gather is per-ROW latency-bound, so all c
+    # values of a lattice row must come from a single indexed fetch
+    # (per-column gathers cost c times the rows); the (c, rows) orientation
+    # keeps the huge axis minor (c pads only to 8 sublanes).  The vertex
+    # reduction is d+1 CONTIGUOUS n-row slices (vertex-major order).
+    tableT = jnp.stack(tcols, axis=0)  # (c, Mc)
+    gathered = tableT[:, plan.slice_idx]  # (c, n*dp1)
+    out_cols = []
+    for k in range(c_in):
+        gw = gathered[k] * plan.weights  # (n*dp1,)
+        acc = gw[0:n]
+        for jj in range(1, dp1):
+            acc = acc + gw[jj * n : (jj + 1) * n]
+        out_cols.append(acc)
+    out = jnp.stack(out_cols, axis=-1)
     # Capacity guard: a trimmed plan (capacity < n_lattice) silently drops
     # lattice rows in _chain_core -- e.g. when lengthscales drift during
     # training and occupancy grows past a capacity measured at init.  Poison
@@ -1088,19 +1147,24 @@ def filter_fused(
 
     h1, h2, s, weights = _geometry_hs(x, E, a)
     M = n * dp1
+    # Vertex-major contribution order + per-column 1-D pipelines: layout
+    # discipline as in build_plan_chain/apply_plan_chain.
+    vmi = lambda t: t.reshape(n, dp1).T.reshape(-1)
+    h1, h2, s = vmi(h1), vmi(h2), vmi(s)
+    W2 = weights.T  # (dp1, n)
+    weights = W2.reshape(-1)
     Mc = M if capacity is None else min(capacity, M)
     v = src.astype(jnp.float32)
     c_in = v.shape[-1]
-    contrib = (v[:, None, :] * weights[:, :, None]).reshape(M, c_in)
     iota = jnp.arange(M, dtype=jnp.int32)
-    cols = lambda t: tuple(t[:, k] for k in range(t.shape[1]))
+    contrib_cols = tuple((W2 * v[:, k][None, :]).reshape(M) for k in range(c_in))
 
     # Dedup sort in axis-0 chain order, values riding as payloads.
     c1_0 = mult[0] * h1 - s * oh1[0]
     c2_0 = mult[0] * h2 - s * oh2[0]
-    srt = jax.lax.sort((c1_0, c2_0, s, iota) + cols(contrib), num_keys=3)
+    srt = jax.lax.sort((c1_0, c2_0, s, iota) + contrib_cols, num_keys=3)
     C1, C2, S, I = srt[0], srt[1], srt[2], srt[3]
-    CV = jnp.stack(srt[4:], axis=-1)  # (M, c) contributions in table order
+    CV_cols = srt[4:]  # c 1-D columns, contributions in table order
     newgrp = jnp.concatenate(
         [jnp.ones((1,), bool), (C1[1:] != C1[:-1]) | (C2[1:] != C2[:-1]) | (S[1:] != S[:-1])]
     )
@@ -1127,10 +1191,14 @@ def filter_fused(
     u_pos_next = jnp.concatenate([u_pos[1:], jnp.full((1,), M, jnp.int32)])
     cnt = jnp.where(iota_c + 1 < n_lattice, u_pos_next, M)
 
-    # Splat: per-group sums from boundary diffs of the contribution cumsum.
-    csum = jnp.cumsum(CV, axis=0)
-    L = jnp.concatenate([jnp.zeros((1, c_in), jnp.float32), csum], axis=0)[cnt]
-    table = L - jnp.concatenate([jnp.zeros((1, c_in), jnp.float32), L[:-1]], axis=0)
+    # Splat: per-group sums from boundary diffs of the contribution cumsum
+    # (per-column 1-D, as in apply_plan_chain).
+    zero1 = jnp.zeros((1,), jnp.float32)
+    tcols = []
+    for cv in CV_cols:
+        Lk = jnp.concatenate([zero1, jnp.cumsum(cv)])[cnt]
+        tcols.append(Lk - jnp.concatenate([zero1, Lk[:-1]]))
+    tcols = tuple(tcols)
 
     # Blur axes 0..d (reference order), then transition back to axis-0 order.
     # Chain-word step per axis: +1 along axes j < d, -d along axis d; the
@@ -1140,9 +1208,8 @@ def filter_fused(
     h_carry = None  # (h1, h2) payloads, only live while in axis-d order
     for j in range(dp1):
         step = 1 if j < d else d
-        table = _chain_stencil(
-            table, _tapw_full(cur_c1, cur_c2, cur_s, step, order, cs), center, order
-        )
+        tapw_j = _tapw_full(cur_c1, cur_c2, cur_s, step, order, cs)
+        tcols = tuple(_chain_stencil_1d(t, tapw_j, center, order) for t in tcols)
         nxt = j + 1 if j < d else 0
         dead = cur_s == _INT32_MAX
         if j < d:
@@ -1153,12 +1220,12 @@ def filter_fused(
             h1r, h2r = h_carry  # axis d's multiplier (-d) is not invertible
         n_c1 = jnp.where(dead, _INT32_MAX, mult[nxt] * h1r - cur_s * oh1[nxt])
         n_c2 = jnp.where(dead, _INT32_MAX, mult[nxt] * h2r - cur_s * oh2[nxt])
-        ops = (n_c1, n_c2, cur_s) + cols(table)
+        ops = (n_c1, n_c2, cur_s) + tcols
         if nxt == d:  # carry h into axis-d order for the final transition
             ops = ops + (h1r, h2r)
         out = jax.lax.sort(ops, num_keys=3)
         cur_c1, cur_c2, cur_s = out[0], out[1], out[2]
-        table = jnp.stack(out[3 : 3 + c_in], axis=-1)
+        tcols = out[3 : 3 + c_in]
         h_carry = (out[3 + c_in], out[4 + c_in]) if nxt == d else None
 
     # The table is back in dedup (axis-0 chain) order: padding rows pin all
@@ -1167,9 +1234,18 @@ def filter_fused(
     # sort among padding under a full 96-bit key tie, ~2^-64).  Slice indexes
     # it directly with the contribution segment ids, un-sorted to input order.
     _, seg_orig = jax.lax.sort((I, seg_sorted), num_keys=1)
-    # Transposed-table gather: see apply_plan_chain's slice for why.
-    gathered = table.T[:, seg_orig.reshape(n, dp1)]  # (c, n, d+1)
-    out = jnp.einsum("cnk,nk->nc", gathered, weights) * SLICE_NORM(d)
+    # ONE (c, M) slice gather + contiguous vertex-sum (layout discipline
+    # and per-row gather economics: see apply_plan_chain's slice).
+    tableT = jnp.stack(tcols, axis=0)  # (c, Mc)
+    gathered = tableT[:, seg_orig]  # (c, M)
+    out_cols = []
+    for k in range(c_in):
+        gw = gathered[k] * weights
+        acc = gw[0:n]
+        for jj in range(1, dp1):
+            acc = acc + gw[jj * n : (jj + 1) * n]
+        out_cols.append(acc)
+    out = jnp.stack(out_cols, axis=-1) * SLICE_NORM(d)
     # Capacity guard, as in apply_plan_chain.
     return jnp.where(n_lattice <= Mc, out, jnp.float32(jnp.nan))
 

@@ -73,6 +73,12 @@ def build_plan_sharded(
     flat = keys.reshape(n_vert, d)
     h1_loc, h2_loc = _hash_pair(flat, a)
     s_loc = flat.sum(-1)
+    # Vertex-major LOCAL contribution order (matching build_plan_chain's
+    # layout discipline); the all-gathered global arrays are then
+    # shard-major blocks of vertex-major rows, so dest/seg windows stay
+    # contiguous per shard.
+    vm = lambda t: t.reshape(n_loc, dp1).T.reshape(-1)
+    h1_loc, h2_loc, s_loc = vm(h1_loc), vm(h2_loc), vm(s_loc)
 
     g1 = jax.lax.all_gather(h1_loc, axis_name, tiled=True)  # (N_global*(d+1),)
     g2 = jax.lax.all_gather(h2_loc, axis_name, tiled=True)
@@ -96,7 +102,7 @@ def build_plan_sharded(
     )
     cnt_loc = jnp.cumsum(counts).astype(jnp.int32)
 
-    slice_idx = rank_d[seg_loc].reshape(n_loc, dp1)
+    slice_idx = rank_d[seg_loc]  # flat vertex-major (n_loc*(d+1),)
     return ChainPlan(
         dest=dest_loc,
         cnt=cnt_loc,
@@ -104,7 +110,7 @@ def build_plan_sharded(
         k2=k2,
         tapw=tapw,
         slice_idx=slice_idx,
-        weights=weights,
+        weights=weights.T.reshape(-1),
         n_lattice=n_lattice,
     )
 

@@ -87,3 +87,21 @@ def test_value_and_grad_through_lengthscale():
     g = jax.grad(loss)(jnp.zeros((d,), jnp.float32))
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.linalg.norm(np.asarray(g)) > 1e-6
+
+
+def test_wide_chunked_filter_matches_join():
+    """The chunked chain-plan wide filter (the very-large-n eval engine)
+    must match the join engine on the same (src, ref)."""
+    import numpy as np
+    from simplex_gp_tpu.ops import kernels as K
+    from simplex_gp_tpu.ops.filter import lattice_filter_wide_chunked
+    from simplex_gp_tpu.ops.lattice import apply_plan_join, build_plan_join
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(400, 5)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(400, 21)).astype(np.float32))  # non-multiple of chunk
+    dk = K.rbf_kernel(1)
+    ours = np.asarray(lattice_filter_wide_chunked(v, x, dk))
+    jp = build_plan_join(x, dk.coeffs, dk.variance)
+    ref = np.asarray(apply_plan_join(jp, v, dk.coeffs))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
