@@ -125,6 +125,19 @@ def run_training(model, raw, ds, args, name: str):
     out_dir.mkdir(parents=True, exist_ok=True)
     log_f = open(out_dir / "metrics.jsonl", "a")
 
+    # Record the run's FULL configuration as the first line of the metrics
+    # log (one line per session when resuming): the reference logs config
+    # with every run via wandb.init(config=...) (train_simplexgp.py:91-98);
+    # without this, reconstructing a committed run's kernel/order/min_noise/
+    # CG settings required digging through commit messages (VERDICT r4).
+    cfg_rec = {
+        "config": {k: v for k, v in vars(args).items() if not k.startswith("_")},
+        "model": repr(model),
+    }
+    log_f.write(json.dumps(cfg_rec) + "\n")
+    log_f.flush()
+    print(json.dumps(cfg_rec), flush=True)
+
     x = jnp.asarray(ds.train_x)
     y = jnp.asarray(ds.train_y)
 
@@ -190,6 +203,26 @@ def run_training(model, raw, ds, args, name: str):
     has_cache = hasattr(model, "posterior_cache")
     best_cache = None  # posterior cache at the early-stopper's best params
 
+    def predict_padded(cache, x_eval):
+        """predict_from_cache with the eval block padded to a power of two.
+
+        ``predict_from_cache`` is jitted per test-block SHAPE: val and test
+        splits differ in row count, so the final test predict used to pay a
+        fresh XLA compile (125.8 s at elevators, VERDICT r4 item 7).
+        Rounding every eval block up to the next power of two puts val and
+        test in the SAME compiled bucket (and makes persistent-cache hits
+        across datasets likely).  Pad rows duplicate x_eval[0]: duplicates
+        of an existing position add no new lattice cells and carry no splat
+        values, so the real rows' predictions are unchanged.
+        """
+        m = x_eval.shape[0]
+        b = 1 << (m - 1).bit_length()
+        if b > m:
+            pad = jnp.broadcast_to(x_eval[:1], (b - m, x_eval.shape[1]))
+            x_eval = jnp.concatenate([x_eval, pad], axis=0)
+        mean, var = model.predict_from_cache(cache, x, x_eval)
+        return mean[:m], var[:m]
+
     def eval_block(cur_raw, x_eval, k):
         if not has_cache:
             return None, model.predict(cur_raw, x, y, x_eval, k)
@@ -197,7 +230,7 @@ def run_training(model, raw, ds, args, name: str):
             cache = model.posterior_cache_host(cur_raw, x, y, k)
         else:
             cache = model.posterior_cache(cur_raw, x, y, k)
-        return cache, model.predict_from_cache(cache, x, x_eval)
+        return cache, predict_padded(cache, x_eval)
 
     stopped = False
     for epoch in range(start_epoch, args.epochs):
@@ -237,13 +270,13 @@ def run_training(model, raw, ds, args, name: str):
         t0 = time.perf_counter()
         if has_cache and best_cache is not None:
             # The best epoch's val cache IS the posterior at best_raw: reuse.
-            tm, tv = model.predict_from_cache(best_cache, x, jnp.asarray(ds.test_x))
+            tm, tv = predict_padded(best_cache, jnp.asarray(ds.test_x))
         elif has_cache:
             if host_loop:
                 cache = model.posterior_cache_host(best_raw, x, y, k3)
             else:
                 cache = model.posterior_cache(best_raw, x, y, k3)
-            tm, tv = model.predict_from_cache(cache, x, jnp.asarray(ds.test_x))
+            tm, tv = predict_padded(cache, jnp.asarray(ds.test_x))
         else:
             tm, tv = model.predict(best_raw, x, y, jnp.asarray(ds.test_x), k3)
         final = {f"test/{k}": v for k, v in regression_metrics(tm, tv, ds.test_y).items()}

@@ -50,6 +50,7 @@ def cg_solve(
     min_iters: int = 10,
     tridiag_m: int = 0,
     stop_mode: str = "mean",
+    stall_window: int = 50,
 ) -> CGResult:
     """Solve ``A x = b`` for an SPD implicit operator, all columns at once.
 
@@ -86,6 +87,15 @@ def cg_solve(
         MLL bimodality of the r3 elevators run.  "column": stop each column
         at its own tolerance (stricter; used by tests that assert
         per-column convergence behavior).
+      stall_window: stop the whole solve after this many consecutive
+        iterations (past the ``min_iters`` floor) in which the mean
+        best-residual improved by less than 1% -- the same guard as the
+        host-orchestrated loop (linalg/host_loop.py), so fused and host
+        engines are iteration-identical in the indefinite regime the guard
+        exists for (lattice-degenerate operators whose residual never
+        crosses tol would otherwise burn all ``max_iters`` at full MVM
+        cost; the best-residual iterate is retained either way).  0
+        disables.
       tridiag_m: when > 0, also record the first ``tridiag_m`` CG step/
         conjugacy coefficients per column (GPyTorch linear_cg's
         ``n_tridiag`` path): the Lanczos tridiagonal of the preconditioned
@@ -121,7 +131,7 @@ def cg_solve(
         return (it < max_iters) & ~jnp.all(done)
 
     def body(state):
-        x, r, p, z, rz, it, done, x_best, res_best = state[:9]
+        x, r, p, z, rz, it, done, x_best, res_best, best_mean, since = state[:11]
         ap = matmul(p)
         pap = dot(p, ap)
         # Guard converged / degenerate columns against 0/0.
@@ -144,6 +154,20 @@ def cg_solve(
         better = res < res_best
         x_best = jnp.where(better[None, :], x, x_best)
         res_best = jnp.minimum(res, res_best)
+        # Stall guard (identical to linalg/host_loop.py's): mean best
+        # residual must improve by >= 1% at least once per `stall_window`
+        # iterations past the floor, else the whole solve stops with the
+        # best iterate.  best_mean/since are shard-identical when sharded
+        # (res comes from psum'd dots), keeping mesh control flow in sync.
+        m_best = res_best.mean()
+        improved = m_best < 0.99 * best_mean
+        best_mean = jnp.where(improved, m_best, best_mean)
+        since = jnp.where(improved, 0, since + 1)
+        stalled = (
+            (since >= stall_window) & (it + 1 >= floor)
+            if stall_window
+            else jnp.bool_(False)
+        )
         # GPyTorch-parity iteration floor: the tolerance may not stop a
         # column before `floor` iterations have run (see docstring).
         if stop_mode == "mean":
@@ -151,12 +175,12 @@ def cg_solve(
             # the column mean is shard-identical and control flow stays in
             # sync across the mesh.
             stop_all = (res.mean() < tol) & (it + 1 >= floor)
-            new_done = done | stop_all | (res < 1e-10)
+            new_done = done | stop_all | stalled | (res < 1e-10)
         else:
-            new_done = done | ((res < tol) & (it + 1 >= floor))
-        out = (x, r, p, z, rz_new, it + 1, new_done, x_best, res_best)
+            new_done = done | ((res < tol) & (it + 1 >= floor)) | stalled
+        out = (x, r, p, z, rz_new, it + 1, new_done, x_best, res_best, best_mean, since)
         if tridiag_m:
-            A, B, TM, t_alive = state[9:]
+            A, B, TM, t_alive = state[11:]
             # A step is a valid Lanczos step only while the column has never
             # converged or broken down (pap <= 0: the operator looked
             # indefinite along p; rz <= 0: preconditioner breakdown) -- once
@@ -184,7 +208,10 @@ def cg_solve(
     # analysis/NLML_BIMODAL.md).  One CG iteration is always sound on an
     # SPD operator, so start every column live.
     done0 = jnp.zeros(res0.shape, bool)
-    state = (x0, r0, p0, z0, rz0, jnp.int32(0), done0, x0, res0)
+    state = (
+        x0, r0, p0, z0, rz0, jnp.int32(0), done0, x0, res0,
+        jnp.float32(jnp.inf), jnp.int32(0),
+    )
     if tridiag_m:
         t = b.shape[-1]
         state = state + (
@@ -198,6 +225,6 @@ def cg_solve(
     if tridiag_m:
         return CGResult(
             x=x_best, iterations=it, residual_norm=res_best,
-            alphas=final[9], betas=final[10], tmask=final[11],
+            alphas=final[11], betas=final[12], tmask=final[13],
         )
     return CGResult(x=x_best, iterations=it, residual_norm=res_best)

@@ -68,7 +68,10 @@ def _cg_iter(state: _CGState, plan, P, s, noise, coeffs, b_norm):
     better = res < res_best
     x_best = jnp.where(better[None, :], x, x_best)
     res_best = jnp.minimum(res, res_best)
-    return _CGState(x, r, p, z, rz_new, x_best, res_best), (alpha, beta, pap, res)
+    # rz (the ENTRY value, used for alpha) rides along for the host-side
+    # tridiag liveness test -- preconditioner breakdown (rz <= 0) voids the
+    # CG<->Lanczos correspondence exactly as in the fused engine.
+    return _CGState(x, r, p, z, rz_new, x_best, res_best), (alpha, beta, pap, res, rz)
 
 
 def host_cg_solve(
@@ -82,6 +85,7 @@ def host_cg_solve(
     max_iters: int,
     min_iters: int = 10,
     tridiag_m: int = 0,
+    stall_window: int = 50,
 ):
     """Python-loop preconditioned CG: semantics of ``cg_solve(stop_mode="mean")``.
 
@@ -94,47 +98,63 @@ def host_cg_solve(
     z0 = precond_solve(P, b) if P is not None else b
     rz0 = (b * z0).sum(axis=0)
     res0 = jnp.sqrt((b * b).sum(axis=0)) / b_norm
-    state = _CGState(jnp.zeros_like(b), b, z0, z0, rz0, jnp.zeros_like(b), res0)
+    # Distinct buffers for every donated state leaf: with P=None, r/p/z all
+    # alias b, and _cg_iter donates its state (donating one buffer twice is
+    # a runtime error; donating b would invalidate the caller's array).
+    state = _CGState(
+        jnp.zeros_like(b), jnp.copy(b), jnp.copy(z0), jnp.copy(z0),
+        rz0, jnp.zeros_like(b), res0,
+    )
 
     t = b.shape[-1]
     A = np.ones((max(tridiag_m, 1), t), np.float32)
     B = np.zeros((max(tridiag_m, 1), t), np.float32)
     TM = np.zeros((max(tridiag_m, 1), t), bool)
     t_alive = np.ones((t,), bool)
+    conv = np.zeros((t,), bool)  # columns already essentially exact
 
     floor = min(min_iters, max_iters)
     it = 0
     best_mean = float("inf")
     since_improved = 0
     for it in range(1, max_iters + 1):
-        state, (alpha, beta, pap, res) = _cg_iter(
+        state, (alpha, beta, pap, res, rz_in) = _cg_iter(
             state, plan, P, s, noise, coeffs, b_norm
         )
         # One small device->host pull per iteration (the host-side stop test).
-        alpha_h, beta_h, pap_h, res_h = (
-            np.asarray(alpha), np.asarray(beta), np.asarray(pap), np.asarray(res)
+        alpha_h, beta_h, pap_h, res_h, rz_h = (
+            np.asarray(alpha), np.asarray(beta), np.asarray(pap),
+            np.asarray(res), np.asarray(rz_in),
         )
         k = it - 1
         if tridiag_m and k < tridiag_m:
-            ok = t_alive & (pap_h > 0) & np.isfinite(alpha_h)
+            # Mirror cg_solve's liveness condition exactly: a step is a valid
+            # Lanczos step only while the column has never converged
+            # (res < 1e-10 at an earlier iteration: post-convergence steps
+            # have near-zero alpha and would inject huge 1/alpha diagonal
+            # entries) or broken down (pap <= 0: operator indefinite along p;
+            # rz <= 0: preconditioner breakdown).
+            ok = t_alive & ~conv & (pap_h > 0) & (rz_h > 0) & np.isfinite(alpha_h)
             A[k] = np.where(ok, alpha_h, 1.0)
             B[k] = np.where(ok, beta_h, 0.0)
             TM[k] = ok
             t_alive = ok
+        conv |= res_h < 1e-10
         if it >= floor and float(res_h.mean()) < tol:
             break
-        # Stall guard (host-loop only, a pragmatic extension over linear_cg):
-        # when the operator is effectively indefinite (lattice-degenerate
-        # regime: exact-kernel preconditioner vs a heavily-discretized
-        # operator), the residual may NEVER cross tol -- without this guard
-        # a tol=1.0 training solve burns all max_iters at multi-second MVM
-        # cost.  The best-residual iterate is retained either way.
+        # Stall guard (identical semantics in the fused engine, cg_solve's
+        # `stall_window`): when the operator is effectively indefinite
+        # (lattice-degenerate regime: exact-kernel preconditioner vs a
+        # heavily-discretized operator), the residual may NEVER cross tol --
+        # without this guard a tol=1.0 training solve burns all max_iters at
+        # multi-second MVM cost.  The best-residual iterate is retained
+        # either way.
         m = float(np.asarray(state.res_best).mean())
         if m < 0.99 * best_mean:
             best_mean, since_improved = m, 0
         else:
             since_improved += 1
-            if it >= floor and since_improved >= 50:
+            if stall_window and it >= floor and since_improved >= stall_window:
                 break
     return state.x_best, state.res_best, it, A[:tridiag_m], B[:tridiag_m], TM[:tridiag_m]
 

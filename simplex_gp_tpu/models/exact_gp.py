@@ -39,6 +39,25 @@ def _rademacher(key, shape):
     return jax.random.rademacher(key, shape, dtype=jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("coeffs",))
+def _host_mv_wide(plan, s, noise, coeffs: tuple, V: jax.Array) -> jax.Array:
+    """``s * K_lattice @ V + noise * V`` for wide V, plan passed at runtime.
+
+    Chunked chain-plan apply (ops/filter.py's wide-at-large-n dispatch) with
+    everything variable as an argument, so the host eval path compiles this
+    ONCE per (n, m) shape instead of once per posterior cache build.
+    """
+    chunk = 8  # ops/filter.py _WIDE_CHUNK
+    n, c = V.shape
+    g = -(-c // chunk)
+    pad = g * chunk - c
+    Vp = jnp.concatenate([V, jnp.zeros((n, pad), V.dtype)], axis=1) if pad else V
+    blocks = jnp.moveaxis(Vp.reshape(n, g, chunk), 1, 0)
+    out = jax.lax.map(lambda b: apply_plan(plan, b, coeffs), blocks)
+    out = jnp.moveaxis(out, 0, 1).reshape(n, g * chunk)[:, :c]
+    return s * out + noise * V
+
+
 @dataclasses.dataclass(frozen=True)
 class SimplexGP:
     """Lattice-accelerated exact GP regression model.
@@ -124,9 +143,18 @@ class SimplexGP:
         return loss, grads_raw
 
     def posterior_cache_host(self, raw: dict, x: jax.Array, y: jax.Array, key: jax.Array, root_rank: Optional[int] = None):
-        """posterior_cache with the eval CG loop on the host (very large n)."""
+        """posterior_cache with the eval CG loop on the host (very large n).
+
+        The sketch MVMs reuse the CG's already-built chain plan through one
+        jitted chunked apply with the plan as a RUNTIME argument: the former
+        per-call plan rebuild paid a multi-second houseelectric chain-plan
+        build twice per cache, and closing a jit over the plan arrays would
+        bake them as constants and recompile every eval (r4 advisor
+        finding).  The returned dict records the solve's final mean residual
+        and iteration count so a stall-guard truncation (host_cg_solve) is
+        detectable by callers.
+        """
         from ..linalg.host_loop import host_cg_solve
-        from ..ops.filter import _filter_plain
         from ..ops.lattice import build_plan as _build_plan
 
         params = self.constrained(raw)
@@ -144,16 +172,19 @@ class SimplexGP:
         n = x.shape[0]
         m = min(root_rank or self.bbmm.max_lanczos_iterations, n)
         omega = jax.random.normal(key, (n, m), jnp.float32)
-        mv_wide = jax.jit(
-            lambda V, refv: s * _filter_plain(V, refv, self.dk, capacity=self.bbmm.plan_capacity) + noise * V
-        )
-        Q, _ = jnp.linalg.qr(mv_wide(omega, ref))
-        T = Q.T @ mv_wide(Q, ref)
+        Q, _ = jnp.linalg.qr(_host_mv_wide(plan, s, noise, self.dk.coeffs, omega))
+        T = Q.T @ _host_mv_wide(plan, s, noise, self.dk.coeffs, Q)
         T = 0.5 * (T + T.T)
         evals, evecs = jnp.linalg.eigh(T)
         evals = jnp.maximum(evals, 1e-8)
         root_inv = Q @ (evecs / jnp.sqrt(evals)[None, :])
-        return {"alpha": alpha, "root_inv": root_inv, "params": params}
+        return {
+            "alpha": alpha,
+            "root_inv": root_inv,
+            "params": params,
+            "cg_res": float(jnp.asarray(res).mean()),
+            "cg_iters": int(iters),
+        }
 
     # ----- prediction -----
 
@@ -211,9 +242,13 @@ class SimplexGP:
         # gathers) at moderate n and the chunked chain plan at very large n
         # (the join engine's (rows, m) tables OOM at houseelectric scale).
         s, noise = params["outputscale"], params["noise"]
-        from ..ops.filter import _filter_plain
+        from ..ops.filter import make_wide_filter
 
-        mv_wide = lambda V: s * _filter_plain(V, ref, self.dk) + noise * V
+        # Plan built once at trace time and shared by both sketch MVMs
+        # (this whole method is one jit, so the build appears once in the
+        # graph by construction rather than by XLA CSE -- r4 advisor).
+        kmv = make_wide_filter(ref, self.dk, capacity=self.bbmm.plan_capacity)
+        mv_wide = lambda V: s * kmv(V) + noise * V
         Q, _ = jnp.linalg.qr(mv_wide(omega))  # (n, m) orthonormal range sketch
         T = Q.T @ mv_wide(Q)
         T = 0.5 * (T + T.T)

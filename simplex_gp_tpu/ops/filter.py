@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from .kernels import DiscretizedKernel
 from .lattice import apply_plan, apply_plan_join, build_plan, build_plan_join
 
-__all__ = ["lattice_filter", "lattice_filter_exact_grad"]
+__all__ = ["lattice_filter", "lattice_filter_exact_grad", "make_wide_filter"]
 
 # Chain-plan transition sorts carry EVERY value column as a sort operand,
 # and TPU variadic-sort compile time grows ~quadratically with operand
@@ -74,6 +74,39 @@ def lattice_filter_wide_chunked(
     blocks = jnp.moveaxis(v.reshape(n, g, _WIDE_CHUNK), 1, 0)  # (g, n, chunk)
     out = jax.lax.map(lambda b: apply_plan(plan, b, dk.coeffs), blocks)
     return jnp.moveaxis(out, 0, 1).reshape(n, g * _WIDE_CHUNK)[:, :c]
+
+
+def make_wide_filter(
+    ref: jax.Array, dk: DiscretizedKernel, capacity: "int | None" = None
+):
+    """Reusable ``mv(V) -> K(ref, ref) @ V`` closure for WIDE value blocks.
+
+    Builds the plan ONCE and closes over it, keeping ``_filter_plain``'s
+    engine dispatch for wide sources (join engine at moderate n, chunked
+    chain plan above ``_JOIN_MAX_ROWS``) without rebuilding the plan on
+    every call -- the LOVE range-sketch in models/exact_gp.py calls the wide
+    MVM twice per cache build, and on the host path each chain-plan rebuild
+    at houseelectric scale costs seconds (r4 advisor finding).
+    """
+    if ref.shape[0] * (ref.shape[-1] + 1) > _JOIN_MAX_ROWS:
+        plan = build_plan(ref, dk.coeffs, dk.variance, capacity=capacity)
+
+        def mv(src: jax.Array) -> jax.Array:
+            n, c = src.shape
+            g = -(-c // _WIDE_CHUNK)
+            pad = g * _WIDE_CHUNK - c
+            v = (
+                jnp.concatenate([src, jnp.zeros((n, pad), src.dtype)], axis=1)
+                if pad
+                else src
+            )
+            blocks = jnp.moveaxis(v.reshape(n, g, _WIDE_CHUNK), 1, 0)
+            out = jax.lax.map(lambda b: apply_plan(plan, b, dk.coeffs), blocks)
+            return jnp.moveaxis(out, 0, 1).reshape(n, g * _WIDE_CHUNK)[:, :c]
+
+        return mv
+    jplan = build_plan_join(ref, dk.coeffs, dk.variance)
+    return lambda src: apply_plan_join(jplan, src, dk.coeffs)
 
 
 def _filter_plain(
