@@ -220,13 +220,18 @@ def run_training(model, raw, ds, args, name: str):
         if b > m:
             pad = jnp.broadcast_to(x_eval[:1], (b - m, x_eval.shape[1]))
             x_eval = jnp.concatenate([x_eval, pad], axis=0)
-        mean, var = model.predict_from_cache(cache, x, x_eval)
+        if hasattr(model, "predict_from_cache_screened"):
+            mean, var = model.predict_from_cache_screened(cache, x, x_eval)
+        else:
+            mean, var = model.predict_from_cache(cache, x, x_eval)
         return mean[:m], var[:m]
 
     def eval_block(cur_raw, x_eval, k):
         if not has_cache:
             return None, model.predict(cur_raw, x, y, x_eval, k)
-        if host_loop:
+        if hasattr(model, "posterior_cache_screened"):
+            cache = model.posterior_cache_screened(cur_raw, x, y, k, host=host_loop)
+        elif host_loop:
             cache = model.posterior_cache_host(cur_raw, x, y, k)
         else:
             cache = model.posterior_cache(cur_raw, x, y, k)
@@ -272,7 +277,9 @@ def run_training(model, raw, ds, args, name: str):
             # The best epoch's val cache IS the posterior at best_raw: reuse.
             tm, tv = predict_padded(best_cache, jnp.asarray(ds.test_x))
         elif has_cache:
-            if host_loop:
+            if hasattr(model, "posterior_cache_screened"):
+                cache = model.posterior_cache_screened(best_raw, x, y, k3, host=host_loop)
+            elif host_loop:
                 cache = model.posterior_cache_host(best_raw, x, y, k3)
             else:
                 cache = model.posterior_cache(best_raw, x, y, k3)

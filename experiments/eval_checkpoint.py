@@ -44,6 +44,11 @@ def main():
         help="LOVE root rank (0 = the model's max_lanczos_iterations); "
         "reduce at very large n to bound the (n, m) sketch memory",
     )
+    p.add_argument(
+        "--prune-thresh", type=float, default=0.0,
+        help="ARD dimension screening for lattice inference "
+        "(SimplexGP.prune_thresh; 0 disables)",
+    )
     args = p.parse_args()
 
     import jax
@@ -78,6 +83,7 @@ def main():
         nu=args.nu,
         order=args.order,
         min_noise=args.min_noise,
+        prune_thresh=args.prune_thresh,
         bbmm=BBMMConfig(
             max_cg_iterations=args.cg_iter,
             precond_rank=args.pre_size,
@@ -90,10 +96,14 @@ def main():
     key = jax.random.PRNGKey(args.seed + 555)
 
     t0 = time.perf_counter()
+    sub, raw_sub, keep = model.screened(raw)
+    x_in = x if keep is None else x[:, jnp.asarray(keep)]
+    if keep is not None:
+        print(json.dumps({"screened_dims": int(len(keep)), "of": int(model.num_dims)}), flush=True)
     if getattr(args, "host_loop", False):
-        cache = model.posterior_cache_host(raw, x, y, key, root_rank=args.root_rank or None)
+        cache = sub.posterior_cache_host(raw_sub, x_in, y, key, root_rank=args.root_rank or None)
     else:
-        cache = model.posterior_cache(raw, x, y, key, root_rank=args.root_rank or None)
+        cache = sub.posterior_cache(raw_sub, x_in, y, key, root_rank=args.root_rank or None)
     jax.block_until_ready(cache["alpha"])
     cache_ts = time.perf_counter() - t0
 
@@ -108,11 +118,13 @@ def main():
         # item 7); duplicate positions add no lattice cells, so real rows'
         # predictions are unchanged.
         xe = jnp.asarray(xe)
+        if keep is not None:
+            xe = xe[:, jnp.asarray(keep)]
         m_rows = xe.shape[0]
         b = 1 << (m_rows - 1).bit_length()
         if b > m_rows:
             xe = jnp.concatenate([xe, jnp.broadcast_to(xe[:1], (b - m_rows, xe.shape[1]))], axis=0)
-        mean, var = model.predict_from_cache(cache, x, xe)
+        mean, var = sub.predict_from_cache(cache, x_in, xe)
         mean, var = mean[:m_rows], var[:m_rows]
         jax.block_until_ready(mean)
         out[f"{split}/pred_ts"] = time.perf_counter() - t0

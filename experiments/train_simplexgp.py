@@ -33,6 +33,12 @@ def main():
     # (configs/simplexgp.yml, train_simplexgp.py:36).
     p.add_argument("--pre-size", type=int, default=100)
     p.add_argument("--num-probes", type=int, default=10)
+    p.add_argument(
+        "--prune-thresh", type=float, default=0.0,
+        help="ARD dimension screening for lattice INFERENCE: at eval time "
+        "drop dims whose inverse lengthscale is below this fraction of the "
+        "max (models/exact_gp.py SimplexGP.prune_thresh; 0 disables)",
+    )
     args = p.parse_args()
 
     from simplex_gp_tpu import BBMMConfig, SimplexGP
@@ -61,6 +67,7 @@ def main():
         nu=args.nu,
         order=args.order,
         min_noise=args.min_noise,
+        prune_thresh=args.prune_thresh,
         bbmm=BBMMConfig(
             cg_tolerance=args.cg_tol,
             max_cg_iterations=args.cg_iter,

@@ -73,6 +73,16 @@ class SimplexGP:
     min_noise: float = 1e-4
     bbmm: BBMMConfig = BBMMConfig()
     eval_cg_tolerance: float = 1e-2  # reference train_simplexgp.py:63
+    # ARD dimension screening for lattice INFERENCE (0 disables).  At eval
+    # time, input dims whose trained inverse lengthscale falls below this
+    # fraction of the max are dropped before the lattice posterior is built:
+    # a dim with lengthscale L contributes <= (dx/L)^2 to scaled distances
+    # (negligible for the near-irrelevant dims ARD identifies), while every
+    # embedded dim degrades the permutohedral approximation (the reference's
+    # own rel-err tables worsen with d -- protein d=9: 0.506, BASELINE.md:22).
+    # A capability the reference lacks; rationale in analysis/QUALITY_GAP.md.
+    # Training always runs on the full dims.
+    prune_thresh: float = 0.0
 
     @property
     def dk(self) -> DiscretizedKernel:
@@ -187,6 +197,51 @@ class SimplexGP:
         }
 
     # ----- prediction -----
+
+    def screened(self, raw: dict):
+        """(sub_model, raw_sub, keep) with near-irrelevant ARD dims dropped.
+
+        Host-side (shapes are data-dependent, so this cannot live under
+        jit): reads the trained inverse lengthscales and returns a reduced-
+        dimension copy of the model plus the subset raw params and the kept
+        column indices (``keep is None`` when screening is off or keeps
+        everything).
+        """
+        import numpy as np
+
+        if self.prune_thresh <= 0:
+            return self, raw, None
+        inv_ell = np.asarray(self.constrained(raw)["inv_ell"])
+        keep = np.where(inv_ell >= self.prune_thresh * inv_ell.max())[0]
+        if len(keep) == self.num_dims:
+            return self, raw, None
+        sub = dataclasses.replace(self, num_dims=len(keep), prune_thresh=0.0)
+        raw_sub = dict(raw)
+        raw_sub["raw_lengthscale"] = jnp.asarray(raw["raw_lengthscale"])[jnp.asarray(keep)]
+        return sub, raw_sub, keep
+
+    def posterior_cache_screened(self, raw, x, y, key, host: bool = False):
+        """posterior_cache with ARD screening applied (see ``prune_thresh``).
+
+        The returned cache carries the screened sub-model and kept columns;
+        pair with :meth:`predict_from_cache_screened`.  No-ops to the plain
+        cache when screening is off.
+        """
+        sub, raw_sub, keep = self.screened(raw)
+        xs = x if keep is None else x[:, jnp.asarray(keep)]
+        cache = (sub.posterior_cache_host if host else sub.posterior_cache)(raw_sub, xs, y, key)
+        cache = dict(cache)
+        cache["keep"], cache["sub"] = keep, sub
+        return cache
+
+    def predict_from_cache_screened(self, cache: dict, x: jax.Array, x_test: jax.Array):
+        sub = cache.get("sub", self)
+        keep = cache.get("keep")
+        if keep is not None:
+            ka = jnp.asarray(keep)
+            x, x_test = x[:, ka], x_test[:, ka]
+        inner = {k: cache[k] for k in ("alpha", "root_inv", "params")}
+        return sub.predict_from_cache(inner, x, x_test)
 
     def _khat_mv(self, params, plan):
         s, noise = params["outputscale"], params["noise"]

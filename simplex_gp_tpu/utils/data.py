@@ -88,16 +88,34 @@ def _synthetic_uci(name: str, seed: int = 0) -> np.ndarray:
     depends strongly on input geometry (VERDICT r3: houseelectric rel_err
     0.331 on i.i.d. synthetic vs the reference's 0.053 on the real data).
     The mixture is re-standardized so lengthscale heuristics stay comparable.
+
+    ``<name>_sparse`` variants use the clustered mixture for x AND restrict
+    the target's relevant directions to min(4, d) randomly-chosen INPUT
+    dims (instead of a dense rank-3 mixing of all d).  Rationale (r5
+    quality-gap attribution, analysis/QUALITY_GAP.md): with a dense mixing,
+    every input dim is equally relevant, ARD stays isotropic, and the
+    trained metric keeps all d dims embedded in the permutohedral lattice
+    -- the regime where the reference's own published MVM error is worst
+    (protein d=9: rel_err 0.506, BASELINE.md:22).  Real UCI tables are
+    anisotropic: ARD on them concentrates inverse lengthscales on a few
+    informative columns, which is precisely what makes lattice inference
+    accurate on the real data.  The sparse variant reproduces that
+    anisotropy so trained-ARD screening (SimplexGP.prune_thresh) has the
+    structure it exists for.
     """
-    clustered = name.endswith("_clustered")
-    if clustered:
+    sparse = name.endswith("_sparse")
+    if sparse:
+        name = name[: -len("_sparse")]
+    clustered = sparse or name.endswith("_clustered")
+    if name.endswith("_clustered"):
         name = name[: -len("_clustered")]
     n, d = UCI_SHAPES[name]
     # Stable content hash: Python's hash() is salted per process, which
-    # would silently give every run a different "dataset".
+    # would silently give every run a different "dataset".  The sparse
+    # variant folds a tag in so its draws differ from plain _clustered.
     import zlib
 
-    rng = np.random.default_rng(zlib.crc32(name.encode()) + seed)
+    rng = np.random.default_rng(zlib.crc32((name + ("_sp" if sparse else "")).encode()) + seed)
     if clustered:
         k = 50
         centers = rng.normal(size=(k, d)).astype(np.float32)
@@ -110,6 +128,12 @@ def _synthetic_uci(name: str, seed: int = 0) -> np.ndarray:
     rank = min(3, d)
     w1 = rng.normal(size=(d, rank)).astype(np.float32) / np.sqrt(d)
     w2 = rng.normal(size=(rank,)).astype(np.float32)
+    if sparse:
+        # Anisotropic relevance: only k_rel input dims carry signal.
+        k_rel = min(4, d)
+        rel = rng.permutation(d)[:k_rel]
+        w1 = np.zeros((d, rank), np.float32)
+        w1[rel] = rng.normal(size=(k_rel, rank)).astype(np.float32) / np.sqrt(k_rel)
     # tanh(z) (not tanh(z/2)): the sharper ridge keeps the LEARNED ARD
     # lengthscales near ~2 in z-scored units -- the regime where the lattice
     # discretization is accurate.  At ell >~ 4 (d ~ 20) the discretized
