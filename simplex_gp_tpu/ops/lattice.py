@@ -905,6 +905,13 @@ def build_plan_chain(
     )
 
 
+def _slice_packed(plan, tableT: jax.Array, n: int, dp1: int, d: int, M: int, c_in: int) -> jax.Array:
+    """Slice for the packed (c, M) table: one gather + vertex-sum + guard."""
+    gathered = tableT[:, plan.slice_idx] * plan.weights[None, :]  # (c, n*dp1)
+    out = gathered.reshape(c_in, dp1, n).sum(1).T
+    return jnp.where(plan.n_lattice <= M, out * SLICE_NORM(d), jnp.float32(jnp.nan))
+
+
 def _chain_stencil_1d(t: jax.Array, tapw_j: jax.Array, center: float, order: int) -> jax.Array:
     """1-D column variant of :func:`_chain_stencil` (same math, no lane pad)."""
     acc = center * t
@@ -981,6 +988,44 @@ def apply_plan_chain(
     # slice gather is (c, rows)-oriented, and the vertex reduction is d+1
     # contiguous n-row slices.
     W2 = plan.weights.reshape(dp1, n)
+
+    if axis_name is None and c_in > 1:
+        # PACKED (c, M) formulation for multi-column applies (the BBMM
+        # engine's probes+y block): cumsum/boundary-diff/stencils/slice run
+        # on (c, M) arrays with the HUGE axis minor -- no 128-lane padding
+        # (c pads only to 8 sublanes) and ~c x fewer XLA ops than the
+        # per-column 1-D formulation, which regressed the 8-rhs apply 34%
+        # (runs/r5/opt_apply.jsonl: 43.4 -> 31.5 ms at elevators c=8).
+        # Sort operands stay per-column 1-D: lax.sort requires operand
+        # shape == key shape, and broadcasting keys to (c, M) would move
+        # c x the key bytes.
+        contrib = (W2[None] * v.T[:, None, :]).reshape(c_in, Mct)
+        sc = jax.lax.sort(
+            (plan.dest,) + tuple(contrib[k] for k in range(c_in)), num_keys=1
+        )[1:]
+        S = jnp.stack(sc, 0)  # (c, Mct)
+        Z = jnp.zeros((c_in, 1), jnp.float32)
+        Lk = jnp.concatenate([Z, jnp.cumsum(S, axis=1)], axis=1)[:, plan.cnt]
+        table2 = Lk - jnp.concatenate([Z, Lk[:, :-1]], axis=1)  # (c, M)
+        for j in range(dp1):
+            tapw_j = plan.tapw[j]
+            acc = taps[order] * table2
+            for k in range(1, order + 1):
+                w = tapw_j[k - 1][None, :]
+                zk = jnp.zeros((c_in, k), jnp.float32)
+                acc = (
+                    acc
+                    + w * jnp.concatenate([table2[:, k:], zk], 1)
+                    + jnp.concatenate([zk, (w * table2)[:, :-k]], 1)
+                )
+            table2 = acc
+            if j < d:
+                o = jax.lax.sort(
+                    (plan.k1[j], plan.k2[j]) + tuple(table2[k] for k in range(c_in)),
+                    num_keys=2,
+                )
+                table2 = jnp.stack(o[2:], 0)
+        return _slice_packed(plan, table2, n, dp1, d, M, c_in)
 
     # Splat: route (this shard's) contributions into global-table order,
     # segment-sum by cumulative sum + per-row boundary difference.
