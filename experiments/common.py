@@ -237,6 +237,28 @@ def run_training(model, raw, ds, args, name: str):
             cache = model.posterior_cache(cur_raw, x, y, k)
         return cache, predict_padded(cache, x_eval)
 
+    def hyp_summary(cur_raw):
+        """Per-epoch hyperparameter record (the reference wandb-logs noise/
+        outputscale/lengthscales every epoch, train_simplexgp.py:44-55;
+        r4's frozen-lengthscale houseelectric failure was invisible without
+        this)."""
+        if not hasattr(model, "constrained"):
+            return {}
+        p = model.constrained(cur_raw)
+        out = {}
+        if "noise" in p:
+            out["hyp/noise"] = float(p["noise"])
+        if "outputscale" in p:
+            out["hyp/outputscale"] = float(p["outputscale"])
+        if "inv_ell" in p:
+            inv = np.asarray(p["inv_ell"], np.float64).ravel()
+            ell = 1.0 / np.maximum(inv, 1e-12)
+            out["hyp/ell_mean"] = float(ell.mean())
+            out["hyp/ell_min"] = float(ell.min())
+            out["hyp/ell_max"] = float(ell.max())
+            out["hyp/d_eff_30"] = int((inv >= 0.3 * inv.max()).sum())
+        return out
+
     stopped = False
     for epoch in range(start_epoch, args.epochs):
         key, k1, k2 = jax.random.split(key, 3)
@@ -244,6 +266,7 @@ def run_training(model, raw, ds, args, name: str):
         raw, opt_state, loss = step(raw, opt_state, k1)
         loss = float(loss)
         rec = {"epoch": epoch, "train/mll": -loss, "train/loss_ts": time.perf_counter() - t0}
+        rec.update(hyp_summary(raw))
 
         if ((epoch + 1) % args.log_int == 0 or epoch == args.epochs - 1) and not getattr(args, "no_eval", False):
             t0 = time.perf_counter()
