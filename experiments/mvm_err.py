@@ -29,7 +29,7 @@ from simplex_gp_tpu.utils.timing import sync_time  # noqa: E402
 def main():
     p = argparse.ArgumentParser()
     add_common_args(p)
-    p.add_argument("--kernel", default="rbf", choices=["rbf", "matern"])
+    p.add_argument("--kernel", default="rbf", choices=["rbf", "matern", "mixture"])
     p.add_argument("--nu", type=float, default=1.5)
     p.add_argument("--order", type=int, default=1)
     p.add_argument("--max-exact", type=int, default=20000)
@@ -46,29 +46,44 @@ def main():
     x_all = np.concatenate([ds.train_x, ds.val_x, ds.test_x], axis=0)
     y_all = np.concatenate([ds.train_y, ds.val_y, ds.test_y], axis=0)
 
-    dk = (
-        K.rbf_kernel(args.order)
-        if args.kernel == "rbf"
-        else K.matern_kernel(args.nu, args.order)
-    )
+    if args.kernel == "rbf":
+        dk = K.rbf_kernel(args.order)
+    elif args.kernel == "matern":
+        dk = K.matern_kernel(args.nu, args.order)
+    else:
+        # Gaussian-mixture lattice targeting matern-nu, weights subset-fit to
+        # the dense operator on this dataset's geometry (ops/kernels.py).
+        dk = K.fit_mixture_weights_subset(
+            K.mixture_kernel(args.nu, args.order), x_all, m=1024
+        )
 
     # --- lattice MVM timing on the full dataset ---
     x = jnp.asarray(x_all)
     v = jnp.asarray(y_all[:, None])
-    cap = None
-    if x_all.shape[0] * (x_all.shape[1] + 1) > 1024 * 1024:
-        # Trim the chain table to measured occupancy (see baseline_table.py).
-        occ = int(count_lattice_points(x, dk.variance, dk.coeffs))
-        c = -(-int(occ * 1.05) // 8192) * 8192
-        if c < 0.9 * x_all.shape[0] * (x_all.shape[1] + 1):
-            cap = c
-    lat = jax.jit(lambda vv, xx: filter_once(vv, xx, dk.coeffs, dk.variance, cap))
+    if args.kernel == "mixture":
+        from simplex_gp_tpu.ops.filter import lattice_filter_any
+
+        lat = jax.jit(lambda vv, xx: lattice_filter_any(vv, xx, dk))
+    else:
+        cap = None
+        if x_all.shape[0] * (x_all.shape[1] + 1) > 1024 * 1024:
+            # Trim the chain table to measured occupancy (see baseline_table.py).
+            occ = int(count_lattice_points(x, dk.variance, dk.coeffs))
+            c = -(-int(occ * 1.05) // 8192) * 8192
+            if c < 0.9 * x_all.shape[0] * (x_all.shape[1] + 1):
+                cap = c
+        lat = jax.jit(lambda vv, xx: filter_once(vv, xx, dk.coeffs, dk.variance, cap))
     t_lattice = sync_time(lat, v, x, reps=args.iters)
 
     # --- accuracy vs dense on a subset ---
     ns = min(args.max_exact, x_all.shape[0])
     xs, vs = x_all[:ns], y_all[:ns, None]
-    lat_sub = jax.jit(lambda vv, xx: filter_once(vv, xx, dk.coeffs, dk.variance))
+    if args.kernel == "mixture":
+        from simplex_gp_tpu.ops.filter import lattice_filter_any
+
+        lat_sub = jax.jit(lambda vv, xx: lattice_filter_any(vv, xx, dk))
+    else:
+        lat_sub = jax.jit(lambda vv, xx: filter_once(vv, xx, dk.coeffs, dk.variance))
     lat_s = np.asarray(lat_sub(jnp.asarray(vs), jnp.asarray(xs)))
 
     xj = jnp.asarray(xs)
@@ -97,7 +112,7 @@ def main():
                 "d": int(x_all.shape[1]),
                 "order": args.order,
                 "kernel": args.kernel,
-                "nu": args.nu if args.kernel == "matern" else None,
+                "nu": args.nu if args.kernel in ("matern", "mixture") else None,
                 "rel_err": rel,
                 "cos_err": cos,
                 "ts/lattice": t_lattice,

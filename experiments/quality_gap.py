@@ -70,7 +70,7 @@ def train(model, raw, x, y, epochs, lr, seed, label):
 def main():
     p = argparse.ArgumentParser()
     add_common_args(p)
-    p.add_argument("--kernel", default="rbf", choices=["rbf", "matern"])
+    p.add_argument("--kernel", default="rbf", choices=["rbf", "matern", "mixture"])
     p.add_argument("--nu", type=float, default=1.5)
     p.add_argument("--order", type=int, default=1)
     p.add_argument("--cg-tol", type=float, default=1.0)
@@ -115,7 +115,9 @@ def main():
     d = x.shape[-1]
     kw = init_kwargs(args, ds)
 
-    dense = DenseGP(num_dims=d, kernel=args.kernel, nu=args.nu, min_noise=args.min_noise)
+    # The mixture kernel TARGETS matern-nu, so the dense gold side is matern.
+    dense_kernel = "matern" if args.kernel == "mixture" else args.kernel
+    dense = DenseGP(num_dims=d, kernel=dense_kernel, nu=args.nu, min_noise=args.min_noise)
     simplex = SimplexGP(
         num_dims=d, kernel=args.kernel, nu=args.nu, order=args.order,
         min_noise=args.min_noise,
@@ -125,6 +127,10 @@ def main():
         ),
         eval_cg_tolerance=args.eval_cg_tol,
     )
+    if args.kernel == "mixture":
+        simplex = simplex.with_fitted_mixture(simplex.init_params(**kw), x)
+        print("mixture weights (subset fit):",
+              [round(w, 4) for w in simplex.mix_weights], flush=True)
 
     out_path = pathlib.Path(args.out) / f"quality_gap_{args.dataset}{args.tag}.jsonl"
     out_path.parent.mkdir(parents=True, exist_ok=True)

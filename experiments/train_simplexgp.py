@@ -23,9 +23,15 @@ from common import add_common_args, init_kwargs, load_dataset, run_training  # n
 def main():
     p = argparse.ArgumentParser()
     add_common_args(p)
-    p.add_argument("--kernel", default="rbf", choices=["rbf", "matern"])
+    p.add_argument(
+        "--kernel", default="rbf", choices=["rbf", "matern", "mixture"],
+        help="'mixture': Gaussian-mixture lattice targeting matern-nu "
+        "(weights subset-fit to the dense operator at init lengthscales; "
+        "higher accuracy than the matern tap filter at ~components x cost)",
+    )
     p.add_argument("--nu", type=float, default=1.5)
     p.add_argument("--order", type=int, default=1)
+    p.add_argument("--mix-components", type=int, default=8)
     p.add_argument("--cg-tol", type=float, default=1.0)
     p.add_argument("--cg-iter", type=int, default=500)
     p.add_argument("--lanc-iter", type=int, default=100)
@@ -68,6 +74,7 @@ def main():
         order=args.order,
         min_noise=args.min_noise,
         prune_thresh=args.prune_thresh,
+        mix_components=args.mix_components,
         bbmm=BBMMConfig(
             cg_tolerance=args.cg_tol,
             max_cg_iterations=args.cg_iter,
@@ -77,7 +84,14 @@ def main():
             plan_capacity=plan_capacity,
         ),
     )
-    run_training(model, model.init_params(**init_kwargs(args, ds)), ds, args, "simplexgp")
+    raw0 = model.init_params(**init_kwargs(args, ds))
+    if args.kernel == "mixture":
+        import jax.numpy as jnp
+
+        model = model.with_fitted_mixture(raw0, jnp.asarray(ds.train_x))
+        print(f"mixture weights (subset fit): "
+              f"{[round(w, 4) for w in model.mix_weights]}", flush=True)
+    run_training(model, raw0, ds, args, "simplexgp")
 
 
 if __name__ == "__main__":

@@ -33,11 +33,30 @@ def BilateralKernel(num_dims: int, **kwargs) -> SimplexGP:
     return RBFLattice(num_dims, **kwargs)
 
 
+def MixtureLattice(
+    num_dims: int, nu: float = 1.5, order: int = 1, components: int = 8, **kwargs
+) -> SimplexGP:
+    """Gaussian-mixture lattice GP targeting Matern-``nu``.
+
+    Accuracy mode beyond the reference: matern is a scale mixture of
+    Gaussians, and the permutohedral filter is most accurate for Gaussians,
+    so filtering ``components`` RBF lattices at scaled positions and
+    combining them with nonnegative host-fit weights beats the matern
+    tap-filter's discretization error (ops/kernels.py MixtureKernel) at
+    ``components`` x the apply cost.
+    """
+    return SimplexGP(
+        num_dims=num_dims, kernel="mixture", nu=nu, order=order,
+        mix_components=components, **kwargs,
+    )
+
+
 __all__ = [
     "BBMMConfig",
     "BilateralKernel",
     "DenseGP",
     "MaternLattice",
+    "MixtureLattice",
     "RBFLattice",
     "SimplexGP",
 ]

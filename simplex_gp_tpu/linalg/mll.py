@@ -28,9 +28,13 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.filter import lattice_filter, lattice_filter_exact_grad
-from ..ops.kernels import DiscretizedKernel, kernel_value_jnp
-from ..ops.lattice import apply_plan, build_plan
+from ..ops.filter import (
+    apply_plan_any,
+    build_plan_any,
+    lattice_filter,
+    lattice_filter_any,
+)
+from ..ops.kernels import DiscretizedKernel, MixtureKernel, kernel_value_jnp
 from .cg import cg_solve
 from .lanczos import logdet_from_cg_tridiag, slq_logdet
 from .pivoted_cholesky import (
@@ -85,7 +89,7 @@ class BBMMConfig:
     slq_mode: str = "cg"
 
 
-def _khat_matmul_diff(params, x, dk: DiscretizedKernel, V, grad_mode: str, axis_name=None, capacity=None):
+def _khat_matmul_diff(params, x, dk, V, grad_mode: str, axis_name=None, capacity=None):
     """Differentiable K_hat(params) @ V; gradient path per ``grad_mode``."""
     ref = x * params["inv_ell"]
     if axis_name is not None:
@@ -93,9 +97,17 @@ def _khat_matmul_diff(params, x, dk: DiscretizedKernel, V, grad_mode: str, axis_
         # derivative-coefficient approximation is single-device only).
         from ..parallel.shard_filter import filter_sharded
 
-        ky = filter_sharded(V, ref, dk, axis_name)
-    elif grad_mode == "exact":
-        ky = lattice_filter_exact_grad(V, ref, dk, capacity=capacity)
+        if isinstance(dk, MixtureKernel):
+            ky = sum(
+                w * filter_sharded(V, ref * a, dk.base, axis_name)
+                for w, a in zip(dk.weights, dk.alphas)
+            )
+        else:
+            ky = filter_sharded(V, ref, dk, axis_name)
+    elif grad_mode == "exact" or isinstance(dk, MixtureKernel):
+        # Mixtures always use exact autodiff (there is no derivative-tap
+        # analog: each component's gradient flows through its own filter).
+        ky = lattice_filter_any(V, ref, dk, capacity=capacity)
     else:
         ky = lattice_filter(V, ref, dk)
     return params["outputscale"] * ky + params["noise"] * V
@@ -149,13 +161,19 @@ def _solve_system(dk, config, params, x, y, probes):
     if config.axis_name is not None:
         from ..parallel.shard_filter import build_plan_sharded
 
-        plan = build_plan_sharded(ref, dk.coeffs, dk.variance, config.axis_name)
+        if isinstance(dk, MixtureKernel):
+            plan = tuple(
+                build_plan_sharded(ref * a, dk.base.coeffs, dk.base.variance, config.axis_name)
+                for a in dk.alphas
+            )
+        else:
+            plan = build_plan_sharded(ref, dk.coeffs, dk.variance, config.axis_name)
     else:
-        plan = build_plan(ref, dk.coeffs, dk.variance, capacity=config.plan_capacity)
+        plan = build_plan_any(ref, dk, capacity=config.plan_capacity)
     s, noise = params["outputscale"], params["noise"]
 
     def mv(V):
-        return s * apply_plan(plan, V, dk.coeffs, axis_name=config.axis_name) + noise * V
+        return s * apply_plan_any(plan, V, dk, axis_name=config.axis_name) + noise * V
 
     n_global = x.shape[0]
     if config.axis_name is not None:

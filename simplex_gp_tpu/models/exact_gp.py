@@ -27,9 +27,9 @@ import jax.numpy as jnp
 from ..linalg.cg import cg_solve
 from ..linalg.mll import BBMMConfig, build_precond, lattice_nlml
 from ..linalg.pivoted_cholesky import precond_solve
-from ..ops.filter import lattice_filter_rect
-from ..ops.kernels import DiscretizedKernel, matern_kernel, rbf_kernel
-from ..ops.lattice import apply_plan, build_plan
+from ..ops.filter import apply_plan_any, build_plan_any, lattice_filter_rect
+from ..ops.kernels import DiscretizedKernel, matern_kernel, mixture_kernel, rbf_kernel
+from ..ops.lattice import apply_plan
 from .components import constrain, init_raw_params
 
 __all__ = ["SimplexGP", "DenseGP"]
@@ -67,10 +67,16 @@ class SimplexGP:
     """
 
     num_dims: int
-    kernel: str = "rbf"  # "rbf" | "matern"
+    kernel: str = "rbf"  # "rbf" | "matern" | "mixture"
     nu: float = 1.5
     order: int = 1
     min_noise: float = 1e-4
+    # "mixture" kernel: Gaussian-mixture discretization targeting matern-nu
+    # (ops/kernels.py MixtureKernel) -- higher accuracy than the matern tap
+    # filter at J x the apply cost.  ``mix_weights`` overrides the profile-fit
+    # weights (see with_fitted_mixture).
+    mix_components: int = 8
+    mix_weights: Optional[tuple] = None
     bbmm: BBMMConfig = BBMMConfig()
     eval_cg_tolerance: float = 1e-2  # reference train_simplexgp.py:63
     # ARD dimension screening for lattice INFERENCE (0 disables).  At eval
@@ -85,12 +91,32 @@ class SimplexGP:
     prune_thresh: float = 0.0
 
     @property
-    def dk(self) -> DiscretizedKernel:
+    def dk(self):
         if self.kernel == "rbf":
             return rbf_kernel(self.order)
         if self.kernel == "matern":
             return matern_kernel(self.nu, self.order)
+        if self.kernel == "mixture":
+            mk = mixture_kernel(self.nu, self.order, self.mix_components)
+            if self.mix_weights is not None:
+                mk = dataclasses.replace(mk, weights=self.mix_weights)
+            return mk
         raise ValueError(f"unknown kernel {self.kernel!r}")
+
+    def with_fitted_mixture(self, raw: dict, x: jax.Array, m: int = 1024, seed: int = 0):
+        """Refit mixture weights against a dense subset operator at the
+        CURRENT lengthscales (ops/kernels.py fit_mixture_weights_subset) and
+        return the updated model.  No-op for non-mixture kernels."""
+        if self.kernel != "mixture":
+            return self
+        import numpy as np
+
+        from ..ops.kernels import fit_mixture_weights_subset
+
+        params = self.constrained(raw)
+        ref = np.asarray(x) * np.asarray(params["inv_ell"])
+        mk = fit_mixture_weights_subset(self.dk, ref, m=m, seed=seed)
+        return dataclasses.replace(self, mix_weights=mk.weights)
 
     def init_params(self, **kwargs) -> dict:
         return init_raw_params(self.num_dims, **kwargs)
@@ -136,6 +162,11 @@ class SimplexGP:
 
         from ..linalg.host_loop import host_inv_quad_logdet_grads
 
+        if self.kernel == "mixture":
+            raise NotImplementedError(
+                "mixture kernel is not wired into the host-orchestrated CG "
+                "loop yet; use the fused engine (nlml) for mixture models"
+            )
         cfg = self.bbmm
         probes = _rademacher(key, (x.shape[0], cfg.num_probes))
         params, pullback = jax.vjp(lambda r: constrain(r, self.min_noise), raw)
@@ -167,6 +198,11 @@ class SimplexGP:
         from ..linalg.host_loop import host_cg_solve
         from ..ops.lattice import build_plan as _build_plan
 
+        if self.kernel == "mixture":
+            raise NotImplementedError(
+                "mixture kernel is not wired into the host eval loop yet; "
+                "use posterior_cache (fused engine) for mixture models"
+            )
         params = self.constrained(raw)
         ref = x * params["inv_ell"]
         s, noise = params["outputscale"], params["noise"]
@@ -247,7 +283,7 @@ class SimplexGP:
         s, noise = params["outputscale"], params["noise"]
 
         def mv(V):
-            return s * apply_plan(plan, V, self.dk.coeffs) + noise * V
+            return s * apply_plan_any(plan, V, self.dk) + noise * V
 
         return mv
 
@@ -272,9 +308,7 @@ class SimplexGP:
         """
         params = self.constrained(raw)
         ref = x * params["inv_ell"]
-        plan = build_plan(
-            ref, self.dk.coeffs, self.dk.variance, capacity=self.bbmm.plan_capacity
-        )
+        plan = build_plan_any(ref, self.dk, capacity=self.bbmm.plan_capacity)
         mv = self._khat_mv(params, plan)
         yc = y - params["mean"]
 
@@ -297,12 +331,12 @@ class SimplexGP:
         # gathers) at moderate n and the chunked chain plan at very large n
         # (the join engine's (rows, m) tables OOM at houseelectric scale).
         s, noise = params["outputscale"], params["noise"]
-        from ..ops.filter import make_wide_filter
+        from ..ops.filter import make_wide_filter_any
 
         # Plan built once at trace time and shared by both sketch MVMs
         # (this whole method is one jit, so the build appears once in the
         # graph by construction rather than by XLA CSE -- r4 advisor).
-        kmv = make_wide_filter(ref, self.dk, capacity=self.bbmm.plan_capacity)
+        kmv = make_wide_filter_any(ref, self.dk, capacity=self.bbmm.plan_capacity)
         mv_wide = lambda V: s * kmv(V) + noise * V
         Q, _ = jnp.linalg.qr(mv_wide(omega))  # (n, m) orthonormal range sketch
         T = Q.T @ mv_wide(Q)
@@ -376,7 +410,10 @@ class DenseGP:
     def _kmat(self, params, x1, x2):
         r1 = x1 * params["inv_ell"]
         r2 = x2 * params["inv_ell"]
-        d2 = ((r1[:, None, :] - r2[None, :, :]) ** 2).sum(-1)
+        # Matmul-form squared distances: the (a, b, d) broadcast temp OOMs at
+        # (62k, 8k, d) eval shapes, and the inner product rides the MXU.
+        d2 = (r1 * r1).sum(-1)[:, None] + (r2 * r2).sum(-1)[None, :] - 2.0 * (r1 @ r2.T)
+        d2 = jnp.maximum(d2, 0.0)
         if self.kernel == "rbf":
             k = jnp.exp(-d2)
         elif self.kernel == "matern" and self.nu == 1.5:
@@ -398,15 +435,34 @@ class DenseGP:
         a = jax.scipy.linalg.cho_solve((L, True), yc[:, None])[:, 0]
         return 0.5 * ((yc * a).sum() + 2 * jnp.log(jnp.diag(L)).sum() + n * jnp.log(2 * jnp.pi)) / n
 
-    def predict(self, raw: dict, x: jax.Array, y: jax.Array, x_test: jax.Array, key=None):
+    def predict(
+        self,
+        raw: dict,
+        x: jax.Array,
+        y: jax.Array,
+        x_test: jax.Array,
+        key=None,
+        block: int = 16384,
+    ):
+        """Posterior mean/variance, blocked over test rows.
+
+        The train-side Cholesky is O(n^2) memory regardless, but the
+        cross-covariance is streamed in ``block``-row chunks so large
+        val/test sets (precipitation: 62k rows) never materialize an
+        (n_test, n) f32 matrix plus its solve temps at once.
+        """
         params = self.constrained(raw)
         n = x.shape[0]
         K = self._kmat(params, x, x) + params["noise"] * jnp.eye(n)
-        Kst = self._kmat(params, x_test, x)
         L = jnp.linalg.cholesky(K)
         yc = y - params["mean"]
         a = jax.scipy.linalg.cho_solve((L, True), yc[:, None])[:, 0]
-        mean = Kst @ a + params["mean"]
-        v = jax.scipy.linalg.solve_triangular(L, Kst.T, lower=True)
-        var = params["outputscale"] + params["noise"] - (v * v).sum(axis=0)
+        means, vars = [], []
+        for i in range(0, x_test.shape[0], block):
+            Kst = self._kmat(params, x_test[i : i + block], x)
+            means.append(Kst @ a + params["mean"])
+            v = jax.scipy.linalg.solve_triangular(L, Kst.T, lower=True)
+            vars.append(params["outputscale"] + params["noise"] - (v * v).sum(axis=0))
+        mean = jnp.concatenate(means) if len(means) > 1 else means[0]
+        var = jnp.concatenate(vars) if len(vars) > 1 else vars[0]
         return mean, jnp.maximum(var, 1e-8)

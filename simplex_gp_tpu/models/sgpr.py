@@ -51,7 +51,9 @@ class SGPR:
     def _k(self, params, x1, x2):
         r1 = x1 * params["inv_ell"]
         r2 = x2 * params["inv_ell"]
-        d2 = ((r1[:, None, :] - r2[None, :, :]) ** 2).sum(-1)
+        # Matmul-form squared distances (no (a, b, d) broadcast temp; MXU).
+        d2 = (r1 * r1).sum(-1)[:, None] + (r2 * r2).sum(-1)[None, :] - 2.0 * (r1 @ r2.T)
+        d2 = jnp.maximum(d2, 0.0)
         if self.kernel == "rbf":
             k = jnp.exp(-d2)
         elif self.kernel == "matern" and self.nu == 1.5:

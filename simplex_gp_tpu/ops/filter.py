@@ -33,10 +33,18 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .kernels import DiscretizedKernel
+from .kernels import DiscretizedKernel, MixtureKernel
 from .lattice import apply_plan, apply_plan_join, build_plan, build_plan_join
 
-__all__ = ["lattice_filter", "lattice_filter_exact_grad", "make_wide_filter"]
+__all__ = [
+    "lattice_filter",
+    "lattice_filter_exact_grad",
+    "lattice_filter_any",
+    "make_wide_filter",
+    "make_wide_filter_any",
+    "build_plan_any",
+    "apply_plan_any",
+]
 
 # Chain-plan transition sorts carry EVERY value column as a sort operand,
 # and TPU variadic-sort compile time grows ~quadratically with operand
@@ -156,8 +164,64 @@ def lattice_filter_exact_grad(
     return _filter_plain(src, ref, dk, capacity=capacity)
 
 
+def lattice_filter_any(src, ref, dk, capacity=None) -> jax.Array:
+    """K(ref, ref) @ src for a DiscretizedKernel OR MixtureKernel.
+
+    Differentiable by plain autodiff (exact operator gradients) in both
+    cases.  A mixture is one RBF-lattice filter per component at scaled
+    positions ``ref * alpha_j``, combined with the static nonnegative
+    weights (ops/kernels.py MixtureKernel) -- PSD by construction.
+    ``capacity`` applies to single-kernel plans only: component occupancies
+    differ with alpha, so mixture plans use the untrimmed bound.
+    """
+    if isinstance(dk, MixtureKernel):
+        out = None
+        for w, a in zip(dk.weights, dk.alphas):
+            term = w * _filter_plain(src, ref * a, dk.base)
+            out = term if out is None else out + term
+        return out
+    return _filter_plain(src, ref, dk, capacity=capacity)
+
+
+def build_plan_any(ref, dk, capacity=None):
+    """Prebuilt reusable plan(s) for ``dk``: one ChainPlan, or a tuple of
+    per-component plans for a MixtureKernel.  Pair with :func:`apply_plan_any`."""
+    if isinstance(dk, MixtureKernel):
+        return tuple(
+            build_plan(ref * a, dk.base.coeffs, dk.base.variance) for a in dk.alphas
+        )
+    return build_plan(ref, dk.coeffs, dk.variance, capacity=capacity)
+
+
+def apply_plan_any(plan, V, dk, axis_name=None):
+    """Apply plan(s) from :func:`build_plan_any`: K @ V (no outputscale/noise)."""
+    if isinstance(dk, MixtureKernel):
+        out = None
+        for w, p in zip(dk.weights, plan):
+            term = w * apply_plan(p, V, dk.base.coeffs, axis_name=axis_name)
+            out = term if out is None else out + term
+        return out
+    return apply_plan(plan, V, dk.coeffs, axis_name=axis_name)
+
+
+def make_wide_filter_any(ref, dk, capacity=None):
+    """``mv(V) -> K @ V`` closure over prebuilt plan(s), wide-source safe."""
+    if isinstance(dk, MixtureKernel):
+        mvs = [make_wide_filter(ref * a, dk.base) for a in dk.alphas]
+
+        def mv(src: jax.Array) -> jax.Array:
+            out = None
+            for w, f in zip(dk.weights, mvs):
+                term = w * f(src)
+                out = term if out is None else out + term
+            return out
+
+        return mv
+    return make_wide_filter(ref, dk, capacity=capacity)
+
+
 def lattice_filter_rect(
-    src: jax.Array, x_from: jax.Array, x_to: jax.Array, dk: DiscretizedKernel
+    src: jax.Array, x_from: jax.Array, x_to: jax.Array, dk
 ) -> jax.Array:
     """Cross-covariance MVM ``K(x_to, x_from) @ src`` via the zero-pad trick.
 
@@ -171,7 +235,7 @@ def lattice_filter_rect(
     v_large = jnp.concatenate(
         [src, jnp.zeros((x_to.shape[0], src.shape[-1]), src.dtype)], axis=0
     )
-    return lattice_filter_exact_grad(v_large, x_large, dk)[n_from:]
+    return lattice_filter_any(v_large, x_large, dk)[n_from:]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
