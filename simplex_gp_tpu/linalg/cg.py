@@ -134,13 +134,22 @@ def cg_solve(
         x, r, p, z, rz, it, done, x_best, res_best, best_mean, since = state[:11]
         ap = matmul(p)
         pap = dot(p, ap)
-        # Guard converged / degenerate columns against 0/0.
-        alpha = jnp.where(done | (pap == 0), 0.0, rz / jnp.where(pap == 0, 1.0, pap))
+        # Column breakdown: pap <= 0 means the (preconditioned) operator
+        # looked indefinite along p -- truly indefinite lattice operator, or
+        # f32 rounding in the Woodbury projection at numerically-low-rank
+        # geometries (the r5 precipitation bug).  A negative alpha step
+        # DIVERGES the iterate; freeze the column at its best iterate
+        # instead.  Same for a negative rz (preconditioner breakdown).
+        broken = ~done & (pap <= 0)
+        alpha = jnp.where(done | (pap <= 0), 0.0, rz / jnp.where(pap <= 0, 1.0, pap))
         x = x + alpha * p
         r = r - alpha * ap
         z = precond(r)
         rz_new = dot(r, z)
-        beta = jnp.where(done | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
+        broken = broken | (~done & (rz_new < 0))
+        beta = jnp.where(
+            done | broken | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz)
+        )
         p = z + beta * p
         res = jnp.sqrt(dot(r, r)) / b_norm
         # Track the minimum-residual iterate per column.  For a healthy SPD
@@ -175,9 +184,9 @@ def cg_solve(
             # the column mean is shard-identical and control flow stays in
             # sync across the mesh.
             stop_all = (res.mean() < tol) & (it + 1 >= floor)
-            new_done = done | stop_all | stalled | (res < 1e-10)
+            new_done = done | stop_all | stalled | (res < 1e-10) | broken
         else:
-            new_done = done | ((res < tol) & (it + 1 >= floor)) | stalled
+            new_done = done | ((res < tol) & (it + 1 >= floor)) | stalled | broken
         out = (x, r, p, z, rz_new, it + 1, new_done, x_best, res_best, best_mean, since)
         if tridiag_m:
             A, B, TM, t_alive = state[11:]

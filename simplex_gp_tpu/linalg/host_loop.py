@@ -49,29 +49,36 @@ class _CGState(NamedTuple):
     rz: jax.Array
     x_best: jax.Array
     res_best: jax.Array
+    done: jax.Array  # (t,) bool: column frozen (breakdown or essentially exact)
 
 
 @functools.partial(jax.jit, static_argnames=("coeffs",), donate_argnums=(0,))
 def _cg_iter(state: _CGState, plan, P, s, noise, coeffs, b_norm):
     """One preconditioned CG iteration on the full RHS block (donated state)."""
-    x, r, p, z, rz, x_best, res_best = state
+    x, r, p, z, rz, x_best, res_best, done = state
     ap = s * apply_plan(plan, p, coeffs) + noise * p
     pap = (p * ap).sum(axis=0)
-    alpha = jnp.where(pap == 0, 0.0, rz / jnp.where(pap == 0, 1.0, pap))
+    # Column breakdown freeze, identical to cg_solve: a negative-pap step
+    # (indefinite direction or Woodbury rounding) or negative rz diverges
+    # the iterate; freeze at the best iterate instead.
+    broken = ~done & (pap <= 0)
+    alpha = jnp.where(done | (pap <= 0), 0.0, rz / jnp.where(pap <= 0, 1.0, pap))
     x = x + alpha * p
     r = r - alpha * ap
     z = precond_solve(P, r) if P is not None else r
     rz_new = (r * z).sum(axis=0)
-    beta = jnp.where(rz == 0, 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
+    broken = broken | (~done & (rz_new < 0))
+    beta = jnp.where(done | broken | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
     p = z + beta * p
     res = jnp.sqrt((r * r).sum(axis=0)) / b_norm
     better = res < res_best
     x_best = jnp.where(better[None, :], x, x_best)
     res_best = jnp.minimum(res, res_best)
+    done = done | broken | (res < 1e-10)
     # rz (the ENTRY value, used for alpha) rides along for the host-side
     # tridiag liveness test -- preconditioner breakdown (rz <= 0) voids the
     # CG<->Lanczos correspondence exactly as in the fused engine.
-    return _CGState(x, r, p, z, rz_new, x_best, res_best), (alpha, beta, pap, res, rz)
+    return _CGState(x, r, p, z, rz_new, x_best, res_best, done), (alpha, beta, pap, res, rz)
 
 
 def host_cg_solve(
@@ -103,7 +110,7 @@ def host_cg_solve(
     # a runtime error; donating b would invalidate the caller's array).
     state = _CGState(
         jnp.zeros_like(b), jnp.copy(b), jnp.copy(z0), jnp.copy(z0),
-        rz0, jnp.zeros_like(b), res0,
+        rz0, jnp.zeros_like(b), res0, jnp.zeros(res0.shape, bool),
     )
 
     t = b.shape[-1]

@@ -79,9 +79,14 @@ def pivoted_cholesky(
         jj = jnp.arange(L.shape[1])
         mask = (jj < j).astype(L.dtype)
         col = col - (L * (L[piv] * mask)[None, :]).sum(axis=-1)
-        # Exhausted pivots (d ~ 0: rank > effective rank) get a ZERO column --
-        # dividing numerical junk by sqrt(1e-12) would otherwise blow up L.
-        alive = d[piv] > 1e-10
+        # Exhausted pivots get a ZERO column.  The threshold is RELATIVE to
+        # the initial diagonal: residual diagonals below ~f32-eps * diag0 are
+        # pure subtractive-cancellation noise, and dividing a junk column by
+        # sqrt(tiny) poisons L -- at long lengthscales (numerically low-rank
+        # K) this made the Woodbury P^{-1} round r^T P^{-1} r negative and
+        # broke every preconditioned CG column at n=65k (r5 precipitation
+        # frozen-hyperparameter bug).
+        alive = d[piv] > 1e-6 * d0_max
         pivot_val = jnp.maximum(d[piv], 1e-12)
         ell = jnp.where(alive, col / jnp.sqrt(pivot_val), 0.0)
         ell = ell.at[piv].set(jnp.where(alive, jnp.sqrt(pivot_val), 0.0))
@@ -93,6 +98,7 @@ def pivoted_cholesky(
 
     L0 = jnp.zeros((n, rank), jnp.float32)
     piv0 = jnp.zeros((rank,), jnp.int32)
+    d0_max = jnp.max(diag.astype(jnp.float32))
     L, _, pivots = jax.lax.fori_loop(0, rank, body, (L0, diag.astype(jnp.float32), piv0))
     return PivotedCholesky(L=L, pivots=pivots)
 
@@ -138,9 +144,12 @@ def pivoted_cholesky_features(
         jj = jnp.arange(L.shape[1])
         mask = (jj < j).astype(L.dtype)
         col = col - (L * (l_piv * mask)[None, :]).sum(axis=-1)
-        # Exhausted pivots (d ~ 0: rank > effective rank) get a ZERO column --
-        # dividing numerical junk by sqrt(1e-12) would otherwise blow up L.
-        alive = pivot_val > 1e-10
+        # Exhausted pivots get a ZERO column.  RELATIVE threshold: residual
+        # diagonals below ~f32-eps * diag0 are subtractive-cancellation junk
+        # (see pivoted_cholesky above; the r5 precipitation preconditioner
+        # breakdown), not signal -- at long lengthscales the exact kernel is
+        # numerically low-rank and rank 100 overshoots its effective rank.
+        alive = pivot_val > 1e-6 * d0_max
         pivot_val = jnp.maximum(pivot_val, 1e-12)
         ell = jnp.where(alive, col / jnp.sqrt(pivot_val), 0.0)
         # The pivot's own entry is exactly sqrt(pivot_val) (only on its shard).
@@ -155,6 +164,9 @@ def pivoted_cholesky_features(
 
     L0 = jnp.zeros((n, rank), jnp.float32)
     piv0 = jnp.zeros((rank,), jnp.int32)
+    d0_max = jnp.max(diag.astype(jnp.float32))
+    if axis_name is not None:
+        d0_max = jax.lax.pmax(d0_max, axis_name)
     L, _, pivots = jax.lax.fori_loop(
         0, rank, body, (L0, diag.astype(jnp.float32), piv0)
     )
@@ -162,18 +174,29 @@ def pivoted_cholesky_features(
 
 
 class Preconditioner(NamedTuple):
-    """P = U diag(s2) U^T + noise I with U^T U = I (globally, when sharded).
+    """P = U diag(s2) U^T + noise I with U^T U ~= I (globally, when sharded).
 
     Built once per loss evaluation from the pivoted-Cholesky factor; applies
     of P^{-1} and P^{+-1/2} are O(n k), and ``logdet`` is exact (matrix
     determinant lemma) -- this is the log|P| term GPyTorch adds to the SLQ
     log-det of the preconditioned operator.
+
+    ``gamma`` is the measured orthonormality defect lambda_max(U^T U): the
+    f32 eigenbasis of an ill-conditioned Gram (kappa ~ s2_max/s2_min ~ 1e4+
+    at long lengthscales) leaves U^T U off identity by ~1e-2, and the apply
+    I/noise - U w U^T is then INDEFINITE (its smallest eigenvalue is
+    1/noise - w_max * gamma < 0 for gamma > 1) -- which made rz = r^T P^{-1} r
+    go hugely negative and broke every preconditioned CG column at the r5
+    precipitation geometry.  Every apply divides its U-term coefficient by
+    ``gamma``, restoring SPD BY CONSTRUCTION at the cost of a ~(gamma-1)
+    relative perturbation of the intended preconditioner.
     """
 
-    U: jax.Array  # (n_local, k) orthonormal columns
+    U: jax.Array  # (n_local, k) near-orthonormal columns
     s2: jax.Array  # (k,) eigenvalues of L L^T
     noise: jax.Array  # ()
     logdet: jax.Array  # () log|P| at global n
+    gamma: jax.Array  # () lambda_max(U^T U) >= 1 SPD guard
 
 
 def make_preconditioner(
@@ -186,17 +209,27 @@ def make_preconditioner(
 
     One k x k eigh of the Gram matrix L^T L (a psum when sharded); columns of
     U with negligible spectrum get weight ~0 in every apply, so a
-    rank-deficient L is harmless.
+    rank-deficient L is harmless.  A Newton-Schulz polish halves the f32
+    orthonormality defect's exponent (~1e-2 -> ~1e-4), and the residual
+    defect is measured into ``gamma`` (see Preconditioner).
     """
-    G = L.T @ L  # (k, k)
-    if axis_name is not None:
-        G = jax.lax.psum(G, axis_name)
-    s2, V = jnp.linalg.eigh(G)
+
+    def gram(M):
+        G = M.T @ M
+        return jax.lax.psum(G, axis_name) if axis_name is not None else G
+
+    s2, V = jnp.linalg.eigh(gram(L))
     s2 = jnp.maximum(s2, 0.0)
     denom = jnp.sqrt(jnp.maximum(s2, 1e-12))
     U = L @ (V / denom[None, :])  # (n_local, k), ||U_i|| <= 1
+    # One Newton-Schulz orthonormalization pass: U <- U (3I - U^T U) / 2.
+    G2 = gram(U)
+    k = G2.shape[0]
+    U = U @ (1.5 * jnp.eye(k, dtype=U.dtype) - 0.5 * G2)
+    # Residual defect bound for the SPD guard (k x k eigh, cheap).
+    gamma = jnp.maximum(jnp.linalg.eigvalsh(gram(U))[-1], 1.0)
     logdet = jnp.log1p(s2 / noise).sum() + n_global * jnp.log(noise)
-    return Preconditioner(U=U, s2=s2, noise=noise, logdet=logdet)
+    return Preconditioner(U=U, s2=s2, noise=noise, logdet=logdet, gamma=gamma)
 
 
 def _ut_v(P: Preconditioner, V: jax.Array, axis_name: Optional[str]) -> jax.Array:
@@ -209,8 +242,14 @@ def _ut_v(P: Preconditioner, V: jax.Array, axis_name: Optional[str]) -> jax.Arra
 def precond_solve(
     P: Preconditioner, V: jax.Array, axis_name: Optional[str] = None
 ) -> jax.Array:
-    """P^{-1} V via Woodbury in the eigenbasis: O(n k t)."""
-    w = P.s2 / (P.noise * (P.noise + P.s2))
+    """P^{-1} V via Woodbury in the eigenbasis: O(n k t).
+
+    The subtractive U-term is divided by ``gamma`` so the applied operator's
+    smallest eigenvalue is >= 1/noise - (w_max/gamma) * lambda_max(U^T U)
+    >= noise^{-1} * (1 - s2_max/(noise+s2_max)) > 0: SPD regardless of the
+    f32 orthonormality defect (see Preconditioner.gamma).
+    """
+    w = P.s2 / (P.noise * (P.noise + P.s2)) / P.gamma
     return V / P.noise - P.U @ (w[:, None] * _ut_v(P, V, axis_name))
 
 
@@ -220,8 +259,10 @@ def precond_inv_sqrt(
     """P^{-1/2} V (symmetric preconditioning for SLQ): O(n k t).
 
     P^{-1/2} = noise^{-1/2} I + U ((noise+s2)^{-1/2} - noise^{-1/2}) U^T.
+    The (negative) U-term is divided by ``gamma`` for the same SPD guard as
+    ``precond_solve``.
     """
-    w = jax.lax.rsqrt(P.noise + P.s2) - jax.lax.rsqrt(P.noise)
+    w = (jax.lax.rsqrt(P.noise + P.s2) - jax.lax.rsqrt(P.noise)) / P.gamma
     return V * jax.lax.rsqrt(P.noise) + P.U @ (w[:, None] * _ut_v(P, V, axis_name))
 
 
@@ -238,7 +279,10 @@ def precond_sqrt(
     preconditioner distribution for the same reason,
     added_diag_lazy_tensor._probe_vectors).
     """
-    w = jnp.sqrt(P.noise + P.s2) - jnp.sqrt(P.noise)
+    # gamma-scaled like precond_inv_sqrt so P^{1/2} stays (approximately) its
+    # inverse -- the quadrature weight identity P^{-1/2}(P^{1/2} z) = z is
+    # what makes ||z||^2 the right starting-vector weight.
+    w = (jnp.sqrt(P.noise + P.s2) - jnp.sqrt(P.noise)) / P.gamma
     return V * jnp.sqrt(P.noise) + P.U @ (w[:, None] * _ut_v(P, V, axis_name))
 
 
