@@ -81,7 +81,15 @@ def main():
     if args.kernel == "mixture":
         from simplex_gp_tpu.ops.filter import lattice_filter_any
 
-        lat_sub = jax.jit(lambda vv, xx: lattice_filter_any(vv, xx, dk))
+        # Weights are geometry-specific (they absorb each component's OWN
+        # discretization at the given point set); the accuracy measurement
+        # runs on the ns-row subset, so fit the measured kernel THERE --
+        # fitting at full n and evaluating on the subset mixes two
+        # different discretizations and overstates the error.
+        dk_sub = K.fit_mixture_weights_subset(
+            K.mixture_kernel(args.nu, args.order), xs, m=1024
+        )
+        lat_sub = jax.jit(lambda vv, xx: lattice_filter_any(vv, xx, dk_sub))
     else:
         lat_sub = jax.jit(lambda vv, xx: filter_once(vv, xx, dk.coeffs, dk.variance))
     lat_s = np.asarray(lat_sub(jnp.asarray(vs), jnp.asarray(xs)))
