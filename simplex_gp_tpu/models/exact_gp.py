@@ -442,14 +442,16 @@ class DenseGP:
         y: jax.Array,
         x_test: jax.Array,
         key=None,
-        block: int = 16384,
+        block: int = 4096,
     ):
         """Posterior mean/variance, blocked over test rows.
 
         The train-side Cholesky is O(n^2) memory regardless, but the
         cross-covariance is streamed in ``block``-row chunks so large
         val/test sets (precipitation: 62k rows) never materialize an
-        (n_test, n) f32 matrix plus its solve temps at once.
+        (n_test, n) f32 matrix plus its solve temps at once.  Block 4096:
+        the TPU triangular solve materializes ~(n, block) HLO temps several
+        times over -- block 16384 at train n=16384 OOMed a 16 GB v5e.
         """
         params = self.constrained(raw)
         n = x.shape[0]
