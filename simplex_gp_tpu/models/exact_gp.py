@@ -442,7 +442,7 @@ class DenseGP:
         y: jax.Array,
         x_test: jax.Array,
         key=None,
-        block: int = 4096,
+        block: int = 2048,
     ):
         """Posterior mean/variance, blocked over test rows.
 
